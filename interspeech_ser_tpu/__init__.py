@@ -1,0 +1,18 @@
+"""TPU-native rebuild of the UNICAMP Interspeech-2025 SER stack.
+
+A JAX/XLA/Pallas/pjit framework with the capability surface of
+AI-Unicamp/interspeech_ser (see SURVEY.md): frozen-encoder embedding
+extraction, lazy multimodal fusion training, LoRA fine-tuning, the
+challenge baseline, and the stacking-ensemble submission pipeline.
+
+Subpackages
+-----------
+- ``utils``   : config / seeding / logging / metrics / .pt + CSV contracts
+- ``ops``     : TPU compute primitives (GRU scan, masked attention, mel, Pallas kernels)
+- ``models``  : flax encoders (WavLM, Whisper, RoBERTa, ...) + fusion classifiers
+- ``parallel``: device mesh + sharding helpers (pjit data/tensor parallel)
+- ``train``   : losses, samplers, fusion training/eval engines
+- ``extract`` : batched, sharded embedding-extraction pipeline
+"""
+
+__version__ = "0.1.0"

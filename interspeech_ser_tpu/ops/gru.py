@@ -1,0 +1,137 @@
+"""Bidirectional GRU on TPU via ``jax.lax.scan``.
+
+Gate math and parameter layout follow torch ``nn.GRU`` exactly (gate order
+r, z, n; the n-gate hidden bias sits *inside* the reset product) so weights
+converted from reference checkpoints reproduce outputs bit-for-bit:
+
+    r_t = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z_t = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n_t = tanh  (W_in x + b_in + r_t * (W_hn h + b_hn))
+    h_t = (1 - z_t) * n_t + z_t * h_{t-1}
+
+TPU mapping: the input contribution ``x @ W_ih^T + b_ih`` for ALL timesteps
+is one large MXU matmul done outside the scan; the scan body performs a
+single fused [B,H] x [H,3H] matmul per step. The recurrence is inherently
+serial in T (reference sequences are ≤ ~600 frames; see SURVEY.md §7 hard
+part 4).
+
+Masking: with ``mask`` (1 = valid frame), the carry freezes across padded
+steps, so a padded batched run equals per-utterance unpadded runs — this is
+what makes batched eval equal the reference's batch-1 eval
+(reference: bin/eval_cat_bimodal_lazy_1head.py:292).
+
+Reference model usage: bin/train_cat_bimodal_lazy_1head.py:255-266.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def gru_scan(
+    x: jnp.ndarray,
+    h0: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    b_ih: jnp.ndarray,
+    b_hh: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Single-direction GRU.
+
+    Args:
+        x: [B, T, I] inputs.
+        h0: [B, H] initial hidden state.
+        w_ih: [I, 3H] input kernel (transposed torch ``weight_ih_l0``).
+        w_hh: [H, 3H] hidden kernel (transposed torch ``weight_hh_l0``).
+        b_ih, b_hh: [3H] biases.
+        mask: optional [B, T] validity mask (1 = real frame).
+        reverse: run right-to-left (the torch ``_reverse`` direction).
+
+    Returns:
+        [B, T, H] hidden states (zeros at masked positions).
+    """
+    B, T, _ = x.shape
+    H = h0.shape[-1]
+    compute_dtype = x.dtype
+
+    # One big MXU matmul for every timestep's input contribution.
+    x_proj = (
+        jax.lax.dot_general(
+            x, w_ih.astype(compute_dtype), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ih.astype(jnp.float32)
+    )  # [B, T, 3H] in f32
+
+    if mask is None:
+        mask_t = jnp.ones((B, T, 1), dtype=jnp.float32)
+    else:
+        mask_t = mask.astype(jnp.float32)[:, :, None]
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 3H]
+    ms = jnp.swapaxes(mask_t, 0, 1)  # [T, B, 1]
+
+    w_hh_f = w_hh.astype(jnp.float32)
+    b_hh_f = b_hh.astype(jnp.float32)
+
+    def step(h, inputs):
+        xp, m = inputs  # [B, 3H], [B, 1]
+        hp = (
+            jnp.dot(h, w_hh_f, preferred_element_type=jnp.float32) + b_hh_f
+        )  # [B, 3H]
+        xr, xz, xn = xp[:, :H], xp[:, H : 2 * H], xp[:, 2 * H :]
+        hr, hz, hn = hp[:, :H], hp[:, H : 2 * H], hp[:, 2 * H :]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_next = m * h_new + (1.0 - m) * h  # freeze carry on padding
+        return h_next, h_next * m  # zero output at padded frames
+
+    h0_f = h0.astype(jnp.float32)
+    _, ys = jax.lax.scan(step, h0_f, (xs, ms), reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1).astype(compute_dtype)  # [B, T, H]
+
+
+class BiGRU(nn.Module):
+    """torch-layout bidirectional single-layer GRU.
+
+    Parameters mirror torch naming for painless checkpoint conversion:
+    ``w_ih_fwd``/``w_hh_fwd``/``b_ih_fwd``/``b_hh_fwd`` and ``*_bwd`` are the
+    transposed torch ``weight_ih_l0``/``weight_hh_l0``/``bias_*`` (+``_reverse``).
+    Output is [B, T, 2H] = concat(forward, backward).
+    """
+
+    hidden_dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        H = self.hidden_dim
+        # torch init: U(-1/sqrt(H), 1/sqrt(H)) for every GRU tensor.
+        bound = 1.0 / (H ** 0.5)
+
+        def u_init(key, shape, dtype=self.param_dtype):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        params = {}
+        for d in ("fwd", "bwd"):
+            params[d] = (
+                self.param(f"w_ih_{d}", u_init, (in_dim, 3 * H)),
+                self.param(f"w_hh_{d}", u_init, (H, 3 * H)),
+                self.param(f"b_ih_{d}", u_init, (3 * H,)),
+                self.param(f"b_hh_{d}", u_init, (3 * H,)),
+            )
+
+        B = x.shape[0]
+        h0 = jnp.zeros((B, H), dtype=jnp.float32)
+        fwd = gru_scan(x, h0, *params["fwd"], mask=mask, reverse=False)
+        bwd = gru_scan(x, h0, *params["bwd"], mask=mask, reverse=True)
+        return jnp.concatenate([fwd, bwd], axis=-1)

@@ -1,0 +1,160 @@
+"""Op-level parity vs torch primitives: GRU, MultiheadAttention, pooling."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from interspeech_ser_tpu.ops.attention import TorchMultiheadAttention, attention_pool
+from interspeech_ser_tpu.ops.gru import BiGRU, gru_scan
+
+RNG = np.random.default_rng(1)
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+class TestGRUParity:
+    def _make_torch_gru(self, in_dim, hidden, bidirectional=True):
+        torch.manual_seed(3)
+        return torch.nn.GRU(
+            in_dim, hidden, batch_first=True, bidirectional=bidirectional
+        )
+
+    def test_forward_direction_matches_torch(self):
+        B, T, I, H = 3, 17, 12, 8
+        g = self._make_torch_gru(I, H, bidirectional=False)
+        x = RNG.normal(size=(B, T, I)).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = g(torch.tensor(x))
+        ours = gru_scan(
+            jnp.asarray(x),
+            jnp.zeros((B, H), jnp.float32),
+            jnp.asarray(_np(g.weight_ih_l0).T),
+            jnp.asarray(_np(g.weight_hh_l0).T),
+            jnp.asarray(_np(g.bias_ih_l0)),
+            jnp.asarray(_np(g.bias_hh_l0)),
+        )
+        np.testing.assert_allclose(np.asarray(ours), _np(ref), atol=2e-6)
+
+    def test_bidirectional_matches_torch(self):
+        B, T, I, H = 2, 11, 10, 6
+        g = self._make_torch_gru(I, H)
+        x = RNG.normal(size=(B, T, I)).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = g(torch.tensor(x))
+
+        model = BiGRU(hidden_dim=H)
+        params = {
+            "w_ih_fwd": _np(g.weight_ih_l0).T,
+            "w_hh_fwd": _np(g.weight_hh_l0).T,
+            "b_ih_fwd": _np(g.bias_ih_l0),
+            "b_hh_fwd": _np(g.bias_hh_l0),
+            "w_ih_bwd": _np(g.weight_ih_l0_reverse).T,
+            "w_hh_bwd": _np(g.weight_hh_l0_reverse).T,
+            "b_ih_bwd": _np(g.bias_ih_l0_reverse),
+            "b_hh_bwd": _np(g.bias_hh_l0_reverse),
+        }
+        ours = model.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ours), _np(ref), atol=2e-6)
+
+    def test_masked_padded_equals_unpadded(self):
+        """Padded+masked batched run == per-sequence unpadded runs."""
+        I, H = 10, 6
+        g = self._make_torch_gru(I, H)
+        params = {
+            "w_ih_fwd": _np(g.weight_ih_l0).T,
+            "w_hh_fwd": _np(g.weight_hh_l0).T,
+            "b_ih_fwd": _np(g.bias_ih_l0),
+            "b_hh_fwd": _np(g.bias_hh_l0),
+            "w_ih_bwd": _np(g.weight_ih_l0_reverse).T,
+            "w_hh_bwd": _np(g.weight_hh_l0_reverse).T,
+            "b_ih_bwd": _np(g.bias_ih_l0_reverse),
+            "b_hh_bwd": _np(g.bias_hh_l0_reverse),
+        }
+        model = BiGRU(hidden_dim=H)
+        lengths = [5, 9, 13]
+        T = 16
+        xs = [RNG.normal(size=(L, I)).astype(np.float32) for L in lengths]
+        x_pad = np.zeros((3, T, I), np.float32)
+        mask = np.zeros((3, T), np.float32)
+        for i, (x, L) in enumerate(zip(xs, lengths)):
+            x_pad[i, :L] = x
+            mask[i, :L] = 1.0
+        batched = np.asarray(
+            model.apply({"params": params}, jnp.asarray(x_pad), jnp.asarray(mask))
+        )
+        for i, (x, L) in enumerate(zip(xs, lengths)):
+            single = np.asarray(model.apply({"params": params}, jnp.asarray(x[None])))
+            np.testing.assert_allclose(batched[i, :L], single[0], atol=2e-6)
+            np.testing.assert_allclose(batched[i, L:], 0.0, atol=0)
+
+
+class TestMHAParity:
+    def _convert(self, mha):
+        return {
+            "in_proj_kernel": _np(mha.in_proj_weight).T,
+            "in_proj_bias": _np(mha.in_proj_bias),
+            "out_kernel": _np(mha.out_proj.weight).T,
+            "out_bias": _np(mha.out_proj.bias),
+        }
+
+    def test_matches_torch_1head(self):
+        B, Tq, Tk, E = 2, 7, 9, 16
+        torch.manual_seed(5)
+        mha = torch.nn.MultiheadAttention(E, 1, batch_first=True)
+        q = RNG.normal(size=(B, Tq, E)).astype(np.float32)
+        k = RNG.normal(size=(B, Tk, E)).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = mha(torch.tensor(q), torch.tensor(k), torch.tensor(k))
+        model = TorchMultiheadAttention(embed_dim=E, num_heads=1)
+        ours = model.apply(
+            {"params": self._convert(mha)}, jnp.asarray(q), jnp.asarray(k), jnp.asarray(k)
+        )
+        np.testing.assert_allclose(np.asarray(ours), _np(ref), atol=2e-5)
+
+    def test_matches_torch_2head_with_mask(self):
+        B, Tq, Tk, E = 2, 5, 8, 16
+        torch.manual_seed(6)
+        mha = torch.nn.MultiheadAttention(E, 2, batch_first=True)
+        q = RNG.normal(size=(B, Tq, E)).astype(np.float32)
+        k = RNG.normal(size=(B, Tk, E)).astype(np.float32)
+        key_mask = np.ones((B, Tk), np.float32)
+        key_mask[0, 5:] = 0
+        key_mask[1, 6:] = 0
+        with torch.no_grad():
+            ref, _ = mha(
+                torch.tensor(q), torch.tensor(k), torch.tensor(k),
+                key_padding_mask=torch.tensor(key_mask == 0),
+            )
+        model = TorchMultiheadAttention(embed_dim=E, num_heads=2)
+        ours = model.apply(
+            {"params": self._convert(mha)},
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(k),
+            key_mask=jnp.asarray(key_mask),
+        )
+        np.testing.assert_allclose(np.asarray(ours), _np(ref), atol=2e-5)
+
+
+class TestAttentionPool:
+    def test_matches_reference_formula(self):
+        B, T, D = 3, 9, 12
+        feats = RNG.normal(size=(B, T, D)).astype(np.float32)
+        w = RNG.normal(size=(D, 1)).astype(np.float32)
+        b = RNG.normal(size=(1,)).astype(np.float32)
+        scores = feats @ w + b
+        ours = attention_pool(jnp.asarray(feats), jnp.asarray(scores))
+        tw = torch.softmax(torch.tensor(scores), dim=1)
+        ref = (torch.tensor(feats) * tw).sum(dim=1)
+        np.testing.assert_allclose(np.asarray(ours), _np(ref), atol=1e-6)
+
+    def test_masked_equals_truncated(self):
+        B, T, D = 1, 9, 12
+        feats = RNG.normal(size=(B, T, D)).astype(np.float32)
+        scores = RNG.normal(size=(B, T, 1)).astype(np.float32)
+        mask = np.zeros((B, T), np.float32)
+        mask[:, :6] = 1
+        masked = attention_pool(jnp.asarray(feats), jnp.asarray(scores), jnp.asarray(mask))
+        trunc = attention_pool(jnp.asarray(feats[:, :6]), jnp.asarray(scores[:, :6]))
+        np.testing.assert_allclose(np.asarray(masked), np.asarray(trunc), atol=1e-6)
