@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""TPU-native replacement for the reference script of the same name.
+
+Thin wrapper over interspeech_ser_tpu.cli — identical CLI flags and
+config-JSON semantics (reference: bin/eval_cat_bimodal_lazy_1head.py).
+"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from interspeech_ser_tpu.cli import eval_main
+
+if __name__ == "__main__":
+    eval_main(ranking=False, trimodal=False)

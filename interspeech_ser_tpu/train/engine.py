@@ -1,0 +1,455 @@
+"""Fusion training / eval / scoring engine (jit + data-parallel mesh).
+
+One shared engine replaces the reference's 13 copy-pasted ``bin/`` scripts
+(SURVEY.md §2.2): the scripts differ only in {n_modalities, neutral head,
+sampler, loss}, all of which are flags here.
+
+Reference semantics preserved (citations → bin/train_cat_bimodal_lazy_1head.py
+unless noted):
+- AdamW(lr, wd=1e-6) (L379), per-epoch cosine annealing to eta_min=1e-6
+  (L26-44, L387-391, L440; epoch e uses lr = eta_min + (lr0-eta_min)
+  (1+cos(pi·e/EPOCHS))/2).
+- loss: weighted CE with inverse-freq train weights, or unweighted CE under
+  balanced batches (L416-419); focal loss replaces CE in the backward pass
+  when ``use_focalloss`` (L421-427, dynamic-alpha for trimodal,
+  train_cat_trimodal_lazy_1head.py:431); ranking adds SoftMarginLoss on the
+  neutral head (…_ranking.py:431-439).
+- model selection: dev macro-F1 per epoch; best → ``multimodal_ser.pt``
+  (L476-492) in torch state-dict format via ``convert_fusion``.
+- per-epoch dev weighted CE with dev-set inverse-freq weights (L164-175,
+  L475).
+
+Deliberate divergence (documented, better-than-reference): gradient
+accumulation averages micro-batch gradients before the optimizer step. The
+reference zeroes gradients every batch (L413) which silently discards all
+but the last micro-batch; all active configs use accum_step=1 where the two
+coincide.
+
+TPU mapping: statically shaped masked batches (train/data.py), a jitted
+train step per (T1,T2[,T3]) bucket signature with batch sharded over the
+mesh 'data' axis and replicated params — XLA inserts the grad all-reduce
+over ICI.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from ..models.convert_fusion import flax_to_torch, torch_to_flax
+from ..models.fusion import MultiModalEmotionClassifier
+from ..parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ..utils import labels as L
+from ..utils import ptio
+from ..utils.config import FusionConfig
+from ..utils.metrics import macro_f1
+from ..utils.seeding import numpy_generator
+from . import losses
+from .data import Batch, LazyFeatureDataset, PrefetchLoader, epoch_batches
+
+
+def cosine_epoch_lr(lr0: float, epoch: int, total_epochs: int, eta_min: float = 1e-6) -> float:
+    """Reference CosineAnnealingScheduler.get_lr for epoch index (L41-44)."""
+    return eta_min + (lr0 - eta_min) * (1 + math.cos(math.pi * epoch / total_epochs)) / 2
+
+
+def setup_run_logging(model_path: str) -> logging.Logger:
+    """File+stream logging into MODEL_PATH, as the reference does (L104-114)."""
+    os.makedirs(model_path, exist_ok=True)
+    handlers = [
+        logging.FileHandler(os.path.join(model_path, "loggingtxt-%d.log" % time.time())),
+        logging.StreamHandler(),
+    ]
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+    return logging.getLogger()
+
+
+@dataclass
+class EngineOptions:
+    ranking: bool = False
+    focal_dynamic_alpha: bool = False  # True for the trimodal trainers
+    masked: bool = True
+    bucket_window: int = 8
+    bucket_quantum: int = 64
+    log_every: int = 200
+    n_devices: Optional[int] = None
+
+
+class FusionEngine:
+    """Train/eval/score the lazy-fusion classifier on a TPU mesh."""
+
+    def __init__(self, cfg: FusionConfig, seed: int = 7, options: Optional[EngineOptions] = None):
+        self.cfg = cfg
+        self.seed = seed
+        self.opt = options or EngineOptions()
+        self.mesh = make_mesh(self.opt.n_devices)
+        self.n_data = self.mesh.shape["data"]
+        self.model = MultiModalEmotionClassifier(
+            feat_dims=cfg.feat_dims,
+            fusion_hidden_dim=cfg.fusion_hidden_dim,
+            num_emotions=cfg.num_emotions,
+            dropout=cfg.dropout,
+            neutral_head=self.opt.ranking,
+            masked=self.opt.masked,
+        )
+        self.rng = numpy_generator(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.params = None
+        self._train_step_cache: Dict = {}
+        self._eval_step_cache: Dict = {}
+        self.logger = logging.getLogger()
+
+    # -- params ------------------------------------------------------------
+
+    def init_params(self):
+        feats = [
+            jnp.zeros((2, 8, d), jnp.float32) for d in self.cfg.feat_dims
+        ]
+        masks = [jnp.ones((2, 8), jnp.float32) for _ in self.cfg.feat_dims]
+        self.key, init_key = jax.random.split(self.key)
+        variables = self.model.init(init_key, feats, masks=masks, deterministic=True)
+        self.params = replicate(self.mesh, variables["params"])
+        return self.params
+
+    def load_torch_checkpoint(self, path: str, strict: bool = True):
+        """Load a reference-format ``multimodal_ser.pt`` state dict.
+
+        ``strict=False`` mirrors the reference eval loads
+        (eval_cat_bimodal_lazy_1head.py:304): missing keys keep their
+        initialized values.
+        """
+        sd = ptio.load_state_dict(path)
+        n_mod = len(self.cfg.feat_dims)
+        loaded = torch_to_flax(sd, n_mod)
+        if self.params is None:
+            self.init_params()
+        host = jax.tree.map(np.asarray, self.params)
+
+        def merge(base, new):
+            for k, v in new.items():
+                if isinstance(v, dict):
+                    merge(base[k], v)
+                else:
+                    if base[k].shape != v.shape and strict:
+                        raise ValueError(f"shape mismatch for {k}")
+                    base[k] = v.astype(base[k].dtype)
+
+        merge(host, loaded)
+        self.params = replicate(self.mesh, host)
+
+    def save_torch_checkpoint(self, path: str):
+        sd = flax_to_torch(jax.tree.map(np.asarray, self.params), len(self.cfg.feat_dims))
+        ptio.save_state_dict(sd, path)
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
+        feats, masks, labels_oh, sample_mask = batch_dev
+        y = jnp.argmax(labels_oh, axis=1)
+        out = self.model.apply(
+            {"params": params},
+            feats,
+            masks=masks,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": dropout_key},
+        )
+        if self.opt.ranking:
+            logits, neutral_logits = out
+        else:
+            logits, neutral_logits = out, None
+
+        ce = losses.weighted_cross_entropy(logits, y, class_w, sample_mask)
+        if self.cfg.use_focalloss:
+            backward = losses.focal_loss(
+                logits, y, alpha=1.0, gamma=2.0,
+                dynamic_alpha=self.opt.focal_dynamic_alpha, sample_mask=sample_mask,
+            )
+        else:
+            backward = ce
+        if self.opt.ranking:
+            y_neutral = (2 * labels_oh[:, -1] - 1)[:, None]
+            backward = backward + losses.soft_margin_loss(
+                neutral_logits, y_neutral, sample_mask
+            )
+        return backward, (ce, logits)
+
+    def _get_train_step(self, shape_sig, use_class_weights: bool):
+        key = (shape_sig, use_class_weights)
+        if key in self._train_step_cache:
+            return self._train_step_cache[key]
+
+        def step(params, opt_state, feats, masks, labels_oh, sample_mask, class_w, lr, dkey):
+            def loss_fn(p):
+                return self._loss_terms(
+                    p, (feats, masks, labels_oh, sample_mask), dkey, class_w, False
+                )
+
+            (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, backward, ce
+
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        self._train_step_cache[key] = fn
+        return fn
+
+    def _get_eval_step(self, shape_sig):
+        if shape_sig in self._eval_step_cache:
+            return self._eval_step_cache[shape_sig]
+
+        def step(params, feats, masks):
+            out = self.model.apply(
+                {"params": params}, feats, masks=masks, deterministic=True
+            )
+            return out[0] if self.opt.ranking else out
+
+        fn = jax.jit(step)
+        self._eval_step_cache[shape_sig] = fn
+        return fn
+
+    def _device_batch(self, batch: Batch):
+        tree = (batch.feats, batch.masks, batch.labels, batch.sample_mask)
+        return shard_batch(self.mesh, tree)
+
+    @staticmethod
+    def _sig(batch: Batch) -> Tuple:
+        return tuple(f.shape for f in batch.feats)
+
+    # -- training ------------------------------------------------------------
+
+    def fit(
+        self,
+        train_df: pd.DataFrame,
+        val_df: pd.DataFrame,
+        log: Optional[logging.Logger] = None,
+    ) -> Dict[str, float]:
+        cfg = self.cfg
+        logger = log or self.logger
+        opt = self.opt
+
+        train_ds = LazyFeatureDataset(
+            train_df["FileName"].tolist(), train_df[L.CLASSES].values,
+            cfg.lazy_dirs, cfg.feat_dims,
+        )
+        val_ds = LazyFeatureDataset(
+            val_df["FileName"].tolist(), val_df[L.CLASSES].values,
+            cfg.lazy_dirs, cfg.feat_dims,
+        )
+
+        train_w = jnp.asarray(L.class_weights(train_df))
+        val_w = L.class_weights(val_df)
+
+        if opt.ranking:
+            sample_weights = L.neutral_balanced_sample_weights(train_df)
+        elif cfg.use_balanced_batch:
+            sample_weights = L.balanced_sample_weights(train_df)
+        else:
+            sample_weights = None
+        # balanced batches → unweighted CE (reference L416-419); ranking
+        # always uses the train-weights CE (…_ranking.py keeps both paths).
+        use_cw = not cfg.use_balanced_batch
+        class_w = train_w if use_cw else None
+
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-6
+        )
+        if self.params is None:
+            self.init_params()
+        opt_state = replicate(self.mesh, self.tx.init(self.params))
+
+        if cfg.accum_step != 1:
+            logger.info(
+                "accum_step=%d: using mean-gradient accumulation (reference "
+                "zero_grad-per-batch behavior is a bug; see engine docstring)",
+                cfg.accum_step,
+            )
+
+        best = {"epoch": -1, "macro_f1": 0.0, "dev_loss": float("inf")}
+        params = self.params
+        global_step = 0
+
+        for epoch in range(cfg.epochs):
+            lr_e = cosine_epoch_lr(cfg.lr, epoch, cfg.epochs)
+            batches = epoch_batches(
+                train_ds, cfg.batch_size, self.rng,
+                shuffle=True, sample_weights=sample_weights,
+                bucket_window=opt.bucket_window,
+            )
+            loader = PrefetchLoader(train_ds, batches, cfg.batch_size, opt.bucket_quantum)
+
+            if cfg.accum_step == 1:
+                for i, batch in enumerate(loader):
+                    step_fn = self._get_train_step(self._sig(batch), use_cw)
+                    feats, masks, labels_oh, smask = self._device_batch(batch)
+                    self.key, dkey = jax.random.split(self.key)
+                    params, opt_state, backward, ce = step_fn(
+                        params, opt_state, feats, masks, labels_oh, smask,
+                        class_w, lr_e, dkey,
+                    )
+                    global_step += 1
+                    if (i + 2) % opt.log_every == 0:
+                        logger.info(
+                            f"Epoch ({epoch+1}/{cfg.epochs})| step = {i+1}: "
+                            f"loss = {float(ce):.6f} current lr = {lr_e:.8g}"
+                        )
+            else:
+                params, opt_state, global_step = self._fit_epoch_accum(
+                    loader, params, opt_state, class_w, lr_e, epoch,
+                    global_step, logger, use_cw,
+                )
+
+            self.params = params
+            dev = self.evaluate(val_ds, val_weights=val_w)
+            logger.info(
+                f"|VALIDATION| Epoch ({epoch+1}/{cfg.epochs}): "
+                f"eval_loss = {dev['loss']:.6f} eval f1 = {dev['macro_f1']:.6f}"
+            )
+            if dev["macro_f1"] > best["macro_f1"]:
+                logger.info(f"New best model at epoch {epoch+1}")
+                best = {
+                    "epoch": epoch, "macro_f1": dev["macro_f1"], "dev_loss": dev["loss"],
+                }
+                self.save_torch_checkpoint(
+                    os.path.join(cfg.model_path, "multimodal_ser.pt")
+                )
+        return best
+
+    def _fit_epoch_accum(
+        self, loader, params, opt_state, class_w, lr_e, epoch, global_step, logger, use_cw
+    ):
+        """Mean-gradient accumulation path (accum_step > 1)."""
+        cfg, opt = self.cfg, self.opt
+        accum = None
+        n_micro = 0
+
+        def grad_step(params, feats, masks, labels_oh, smask, cw, dkey):
+            def loss_fn(p):
+                return self._loss_terms(
+                    p, (feats, masks, labels_oh, smask), dkey, cw, False
+                )
+
+            (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, backward, ce
+
+        def apply_step(params, opt_state, grads, lr, scale):
+            grads = jax.tree.map(lambda g: g / scale, grads)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        grad_jit: Dict = {}
+        apply_jit = jax.jit(apply_step, donate_argnums=(0, 1, 2))
+        add_jit = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b), donate_argnums=(0,))
+        n_batches = len(loader)
+
+        for i, batch in enumerate(loader):
+            sig = self._sig(batch)
+            if sig not in grad_jit:
+                grad_jit[sig] = jax.jit(grad_step)
+            feats, masks, labels_oh, smask = self._device_batch(batch)
+            self.key, dkey = jax.random.split(self.key)
+            grads, backward, ce = grad_jit[sig](
+                params, feats, masks, labels_oh, smask, class_w, dkey
+            )
+            accum = grads if accum is None else add_jit(accum, grads)
+            n_micro += 1
+            if (i + 1) % cfg.accum_step == 0 or (i + 1) == n_batches:
+                params, opt_state = apply_jit(
+                    params, opt_state, accum, lr_e, float(n_micro)
+                )
+                accum, n_micro = None, 0
+            global_step += 1
+            if (i + 2) % opt.log_every == 0:
+                logger.info(
+                    f"Epoch ({epoch+1}/{cfg.epochs})| step = {i+1}: "
+                    f"loss = {float(ce):.6f} current lr = {lr_e:.8g}"
+                )
+        return params, opt_state, global_step
+
+    # -- evaluation / scoring -------------------------------------------------
+
+    def predict(self, dataset: LazyFeatureDataset, batch_size: Optional[int] = None):
+        """Logits for every sample, order-preserving (masked batched == batch-1)."""
+        bs = batch_size or max(self.cfg.batch_size, self.n_data)
+        bs = ((bs + self.n_data - 1) // self.n_data) * self.n_data
+        n = len(dataset)
+        order = np.argsort(_lengths_for_sort(dataset), kind="stable")
+        logits_out = np.zeros((n, self.cfg.num_emotions), np.float32)
+        for start in range(0, n, bs):
+            idxs = order[start : start + bs].tolist()
+            batch = dataset.collate(idxs, bs, self.opt.bucket_quantum)
+            step_fn = self._get_eval_step(self._sig(batch))
+            feats, masks, _, _ = self._device_batch(batch)
+            logits = np.asarray(step_fn(self.params, feats, masks))
+            logits_out[idxs] = logits[: len(idxs)]
+        return logits_out
+
+    def evaluate(
+        self, dataset: LazyFeatureDataset, val_weights: Optional[np.ndarray] = None
+    ) -> Dict[str, float]:
+        logits = self.predict(dataset)
+        y = np.argmax(dataset.labels, axis=1)
+        preds = np.argmax(logits, axis=1)
+        f1 = macro_f1(y, preds, self.cfg.num_emotions)
+        loss = _host_weighted_ce(logits, y, val_weights)
+        return {"macro_f1": f1, "loss": loss, "logits": logits, "preds": preds, "y": y}
+
+
+def _host_weighted_ce(logits: np.ndarray, y: np.ndarray, class_w: Optional[np.ndarray]):
+    z = logits - logits.max(axis=1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+    nll = -logp[np.arange(len(y)), y]
+    w = np.ones_like(nll) if class_w is None else np.asarray(class_w)[y]
+    return float((nll * w).sum() / w.sum())
+
+
+def _lengths_for_sort(dataset: LazyFeatureDataset) -> np.ndarray:
+    from .data import _primary_lengths
+
+    return _primary_lengths(dataset)
+
+
+def save_predictions_with_probs(
+    logits: np.ndarray,
+    utts: Sequence[str],
+    model_path: str,
+    dtype: str = "dev",
+    filename_header: str = "Filename",
+) -> str:
+    """Write results/{dev,test,train}.csv in the reference's exact format.
+
+    Raw logits at 4 decimals; 'Filename' header for dev/train, 'FileName'
+    for test (reference eval…1head.py:369 vs test…stacking.py:351 quirk).
+    """
+    import csv as _csv
+
+    os.makedirs(os.path.join(model_path, "results"), exist_ok=True)
+    out = os.path.join(model_path, "results", f"{dtype}.csv")
+    num_classes = logits.shape[1]
+    headers = [filename_header, "Prediction"] + [
+        f"class_{i}_prob" for i in range(num_classes)
+    ]
+    with open(out, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(headers)
+        for utt, row in zip(utts, logits):
+            pred = L.INDEX_TO_LETTER[int(np.argmax(row))]
+            w.writerow([utt, pred] + [f"{p:.4f}" for p in row])
+    return out

@@ -1,0 +1,147 @@
+"""End-to-end slice: synthetic .pt features → train → eval/test/extract CSVs.
+
+Exercises the full file contract (config JSON → lazy .pt dirs → results/
+CSVs → multimodal_ser.pt checkpoint) on the virtual 8-device CPU mesh.
+The synthetic task is linearly separable so 2 epochs must beat chance.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import torch
+
+from interspeech_ser_tpu.utils import labels as L
+
+D1, D2 = 24, 16
+N_TRAIN, N_DEV, N_TEST = 48, 24, 8
+FUSION_HIDDEN = 16
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serdata")
+    rng = np.random.default_rng(7)
+    lazy1, lazy2 = root / "lazy1", root / "lazy2"
+    lazy1.mkdir(), lazy2.mkdir()
+
+    rows = []
+    class_means = rng.normal(scale=2.0, size=(8, D1))
+    names = []
+    for i in range(N_TRAIN + N_DEV + N_TEST):
+        cls = i % 8
+        name = f"MSP-PODCAST_{i:04d}.wav"
+        names.append(name)
+        t1 = int(rng.integers(20, 90))
+        t2 = int(rng.integers(5, 30))
+        f1 = rng.normal(size=(t1, D1)).astype(np.float32) + class_means[cls]
+        f2 = rng.normal(size=(t2, D2)).astype(np.float32)
+        torch.save(torch.from_numpy(f1), str(lazy1 / name.replace(".wav", ".pt")))
+        torch.save(torch.from_numpy(f2), str(lazy2 / name.replace(".wav", ".pt")))
+        onehot = [0.0] * 8
+        onehot[cls] = 1.0
+        split = (
+            "Train" if i < N_TRAIN else "Development" if i < N_TRAIN + N_DEV else "Test3"
+        )
+        rows.append([name] + onehot + [split])
+
+    label_df = pd.DataFrame(rows, columns=["FileName"] + L.CLASSES + ["Split_Set"])
+    label_df.to_csv(root / "labels.csv", index=False)
+    pd.DataFrame({"FileName": names, "transcription": ["hi"] * len(names)}).to_csv(
+        root / "transcripts.csv", index=False
+    )
+    test_rows = label_df[label_df["Split_Set"] == "Test3"]["FileName"]
+    os.makedirs(root / "test", exist_ok=True)
+    pd.DataFrame({"FileName": test_rows}).to_csv(root / "test" / "Categorical_test.csv", index=False)
+    # stacking train sample = first 16 train rows
+    label_df.iloc[:16].to_csv(root / "train_stacking_sample.csv", index=False)
+
+    cfg = {
+        "wav_dir": str(root),
+        "txt_dir": str(root / "transcripts.csv"),
+        "lazy_dir1": str(lazy1),
+        "lazy_dir2": str(lazy2),
+        "label_path": str(root / "labels.csv"),
+        "feat1_dim": D1,
+        "feat2_dim": D2,
+        "use_balanced_batch": False,
+        "use_focalloss": False,
+        "epochs": 3,
+        "lr": 5e-3,
+        "model_path": str(root / "exp"),
+        "batch_size": 16,
+        "accum_step": 1,
+        "fusion_hidden_dim": FUSION_HIDDEN,
+    }
+    with open(root / "config.json", "w") as f:
+        json.dump(cfg, f)
+    return root
+
+
+class TestEndToEnd:
+    def test_train_eval_test_extract(self, fixture_dir):
+        from interspeech_ser_tpu.cli import (
+            eval_main,
+            extract_train_main,
+            test_main,
+            train_main,
+        )
+
+        cfg_path = str(fixture_dir / "config.json")
+        best = train_main(argv=["--config_path", cfg_path, "--seed", "7"])
+        assert best["macro_f1"] > 0.5, "separable synthetic task must beat chance"
+        ckpt = fixture_dir / "exp" / "multimodal_ser.pt"
+        assert ckpt.exists()
+        # checkpoint is a valid torch state dict with reference naming
+        sd = torch.load(str(ckpt), weights_only=True)
+        assert "speech_projection.weight" in sd
+        assert sd["speech_projection.weight"].shape == (FUSION_HIDDEN, D1)
+
+        out = eval_main(argv=["--config_path", cfg_path])
+        dev = pd.read_csv(out)
+        assert list(dev.columns[:2]) == ["Filename", "Prediction"]
+        assert len(dev) == N_DEV
+        assert set(dev["Prediction"]) <= set(L.CLASS_LETTERS)
+        # 4-decimal logit strings
+        raw = open(out).read().splitlines()[1].split(",")
+        assert all("." in v and len(v.split(".")[1]) == 4 for v in raw[2:])
+
+        out = test_main(
+            argv=["--config_path", cfg_path,
+                  "--test_df", str(fixture_dir / "test" / "Categorical_test.csv")]
+        )
+        test = pd.read_csv(out)
+        assert list(test.columns[:2]) == ["FileName", "Prediction"]
+        assert len(test) == N_TEST
+
+        out = extract_train_main(
+            argv=["--config_path", cfg_path,
+                  "--train_df", str(fixture_dir / "train_stacking_sample.csv")]
+        )
+        tr = pd.read_csv(out)
+        assert list(tr.columns[:2]) == ["Filename", "Prediction"]
+        assert len(tr) == 16
+
+    def test_train_ranking_focal_balanced(self, fixture_dir):
+        """Ranking variant + focal + accumulation path compile and run."""
+        from interspeech_ser_tpu.cli import train_main
+
+        raw = json.load(open(fixture_dir / "config.json"))
+        raw.update(
+            {
+                "use_focalloss": True,
+                "epochs": 1,
+                "accum_step": 2,
+                "model_path": str(fixture_dir / "exp_rank"),
+            }
+        )
+        p = fixture_dir / "config_rank.json"
+        p.write_text(json.dumps(raw))
+        best = train_main(ranking=True, argv=["--config_path", str(p)])
+        assert (fixture_dir / "exp_rank" / "multimodal_ser.pt").exists()
+        sd = torch.load(
+            str(fixture_dir / "exp_rank" / "multimodal_ser.pt"), weights_only=True
+        )
+        assert "neutral_classifier.0.weight" in sd
