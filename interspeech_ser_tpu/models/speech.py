@@ -1,0 +1,375 @@
+"""Unified speech SSL encoder: WavLM / wav2vec2(XLS-R) / HuBERT on TPU.
+
+The three HF families used by the reference's extraction scripts
+(reference: preprocessing/preprocess_speech.py:111-112 loads
+microsoft/wavlm-large, facebook/wav2vec2-xls-r-2b, facebook/hubert-xlarge-*
+via AutoModel) share one architecture skeleton — 7-layer strided conv
+frontend (hop 320 @16 kHz), feature projection, positional conv embedding,
+transformer stack — differing only in attention flavor (WavLM adds gated
+relative position bias), norm placement (stable vs post LN), and conv-norm
+mode. This module implements that skeleton ONCE as a config-driven flax
+model; checkpoint converters live in ``convert_hf.py``.
+
+Batched-padded extraction here equals HF's per-utterance unpadded forward
+exactly: padded frames are zeroed before the positional conv (mirroring the
+HF encoders), excluded from attention via the key mask, and sliced off
+before saving — see tests/test_speech_encoders.py.
+
+Compute dtype is configurable: f32 for bit-parity, bf16 for MXU throughput
+(params stay f32; layernorm/softmax accumulate in f32 either way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention_core import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechConfig:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"  # 'group' (base) | 'layer' (large/XL)
+    do_stable_layer_norm: bool = False
+    attention_type: str = "standard"  # 'standard' | 'wavlm'
+    num_buckets: int = 320
+    max_distance: int = 800
+    num_conv_pos_embeddings: int = 128
+    conv_pos_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    dtype: str = "float32"  # compute dtype; params always f32
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @classmethod
+    def from_hf(cls, hf_config, attention_type: Optional[str] = None, dtype: str = "float32"):
+        """Build from a transformers WavLM/Wav2Vec2/Hubert config."""
+        if attention_type is None:
+            attention_type = "wavlm" if hf_config.model_type == "wavlm" else "standard"
+        return cls(
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            conv_dim=tuple(hf_config.conv_dim),
+            conv_kernel=tuple(hf_config.conv_kernel),
+            conv_stride=tuple(hf_config.conv_stride),
+            conv_bias=hf_config.conv_bias,
+            feat_extract_norm=hf_config.feat_extract_norm,
+            do_stable_layer_norm=hf_config.do_stable_layer_norm,
+            attention_type=attention_type,
+            num_buckets=getattr(hf_config, "num_buckets", 320),
+            max_distance=getattr(hf_config, "max_bucket_distance", 800),
+            num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+            conv_pos_groups=hf_config.num_conv_pos_embedding_groups,
+            layer_norm_eps=hf_config.layer_norm_eps,
+            dtype=dtype,
+        )
+
+
+# Production presets (checkpoint card values for the reference's encoders).
+def wavlm_large(dtype="float32") -> SpeechConfig:
+    return SpeechConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096,
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        attention_type="wavlm", dtype=dtype,
+    )
+
+
+def wav2vec2_xlsr_2b(dtype="float32") -> SpeechConfig:
+    return SpeechConfig(
+        hidden_size=1920, num_layers=48, num_heads=16, intermediate_size=7680,
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        attention_type="standard", dtype=dtype,
+    )
+
+
+def hubert_xlarge(dtype="float32") -> SpeechConfig:
+    return SpeechConfig(
+        hidden_size=1280, num_layers=48, num_heads=16, intermediate_size=5120,
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        attention_type="standard", dtype=dtype,
+    )
+
+
+def feat_extract_output_length(length, config: SpeechConfig):
+    """Conv-frontend output length (works on ints or arrays)."""
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        length = (length - k) // s + 1
+    return length
+
+
+class ConvFeatureExtractor(nn.Module):
+    """7-layer strided conv frontend (hop 320).
+
+    'group' mode: GroupNorm(ch, ch) on layer 0 only (base models);
+    'layer' mode: per-layer LayerNorm over channels (large/XL models).
+    """
+
+    config: SpeechConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:  # [B, L] -> [B, T, C]
+        cfg = self.config
+        dt = cfg.compute_dtype
+        x = wav[:, :, None].astype(dt)  # [B, L, 1]
+        for i, (out_ch, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            x = nn.Conv(
+                out_ch, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
+                dtype=dt, param_dtype=jnp.float32, name=f"conv{i}",
+            )(x)
+            if cfg.feat_extract_norm == "group" and i == 0:
+                x = nn.GroupNorm(
+                    num_groups=out_ch, epsilon=1e-5, dtype=jnp.float32,
+                    param_dtype=jnp.float32, name="group_norm",
+                )(x).astype(dt)
+            elif cfg.feat_extract_norm == "layer":
+                x = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                    param_dtype=jnp.float32, name=f"conv_ln{i}",
+                )(x).astype(dt)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding (k=128, groups=16, gelu).
+
+    The torch original weight-norms the conv kernel; the converter folds
+    g·v/||v|| into a plain kernel (the parametrization only matters for
+    from-scratch training dynamics, not inference parity).
+    """
+
+    config: SpeechConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, D]
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        h = nn.Conv(
+            cfg.hidden_size, (k,), padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.conv_pos_groups, dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name="conv",
+        )(x)
+        if k % 2 == 0:  # SamePadLayer: drop trailing element for even kernels
+            h = h[:, :-1, :]
+        return nn.gelu(h, approximate=False)
+
+
+def _relative_position_buckets(tq: int, tk: int, num_buckets: int, max_distance: int):
+    """WavLM bucketed relative positions (T5-style, bidirectional).
+
+    Math follows the public WavLM formulation (see HF
+    modeling_wavlm.WavLMAttention._relative_positions_bucket); computed in
+    numpy at trace time — static shapes, no device work.
+    """
+    context = np.arange(tq)[:, None]
+    memory = np.arange(tk)[None, :]
+    relative = memory - context
+    nb = num_buckets // 2
+    buckets = (relative > 0).astype(np.int64) * nb
+    rel_abs = np.abs(relative)
+    max_exact = nb // 2
+    is_small = rel_abs < max_exact
+    with np.errstate(divide="ignore"):
+        large = (
+            max_exact
+            + (
+                np.log(np.maximum(rel_abs, 1) / max_exact)
+                / np.log(max_distance / max_exact)
+                * (nb - max_exact)
+            ).astype(np.int64)
+        )
+    large = np.minimum(large, nb - 1)
+    buckets += np.where(is_small, rel_abs, large)
+    return jnp.asarray(buckets)
+
+
+class SpeechSelfAttention(nn.Module):
+    """Self-attention; WavLM flavor adds the gated relative position bias."""
+
+    config: SpeechConfig
+    has_relative_position_bias: bool = False  # rel embedding lives on layer 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D]
+        key_mask: Optional[jnp.ndarray],
+        position_bias: Optional[jnp.ndarray],  # [H, T, T] from layer 0
+    ):
+        cfg = self.config
+        D, H = cfg.hidden_size, cfg.num_heads
+        hd = D // H
+        dt = cfg.compute_dtype
+        B, T, _ = x.shape
+
+        q = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="q_proj")(x)
+        k = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="k_proj")(x)
+        v = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="v_proj")(x)
+        q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+
+        bias = None
+        if cfg.attention_type == "wavlm":
+            if self.has_relative_position_bias:
+                rel_embed = self.param(
+                    "rel_attn_embed",
+                    nn.initializers.normal(0.02),
+                    (cfg.num_buckets, H),
+                    jnp.float32,
+                )
+                buckets = _relative_position_buckets(
+                    T, T, cfg.num_buckets, cfg.max_distance
+                )
+                position_bias = rel_embed[buckets].transpose(2, 0, 1)  # [H, T, T]
+            assert position_bias is not None, "layers >0 need layer-0 position_bias"
+            # gated bias: per-(batch, head, query) gate from the hidden state
+            gate_in = x.reshape(B, T, H, hd).transpose(0, 2, 1, 3)  # [B,H,T,hd]
+            proj = nn.Dense(
+                8, dtype=jnp.float32, param_dtype=jnp.float32, name="gru_rel_pos_linear"
+            )(gate_in.astype(jnp.float32))
+            proj = proj.reshape(B, H, T, 2, 4).sum(-1)  # [B,H,T,2]
+            gates = jax.nn.sigmoid(proj)
+            gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,T,1]
+            const = self.param(
+                "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1), jnp.float32
+            )
+            gate_out = gate_a * (gate_b * const - 1.0) + 2.0  # [B,H,T,1]
+            bias = gate_out * position_bias[None]  # [B,H,T,T]
+
+        out = dot_product_attention(q, k, v, bias=bias, key_mask=key_mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        out = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="out_proj")(out)
+        return out, position_bias
+
+
+class FeedForward(nn.Module):
+    config: SpeechConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        dt = cfg.compute_dtype
+        h = nn.Dense(
+            cfg.intermediate_size, dtype=dt, param_dtype=jnp.float32,
+            name="intermediate_dense",
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(
+            cfg.hidden_size, dtype=dt, param_dtype=jnp.float32, name="output_dense"
+        )(h)
+
+
+class EncoderLayer(nn.Module):
+    config: SpeechConfig
+    has_relative_position_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_mask, position_bias):
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+            name=name,
+        )
+        attn = SpeechSelfAttention(
+            cfg, self.has_relative_position_bias, name="attention"
+        )
+        ffn = FeedForward(cfg, name="feed_forward")
+        dt = cfg.compute_dtype
+        if cfg.do_stable_layer_norm:  # pre-LN (large/XL checkpoints)
+            h, position_bias = attn(ln("layer_norm")(x).astype(dt), key_mask, position_bias)
+            x = x + h
+            x = x + ffn(ln("final_layer_norm")(x).astype(dt))
+        else:  # post-LN (base checkpoints)
+            h, position_bias = attn(x, key_mask, position_bias)
+            x = ln("layer_norm")(x + h).astype(dt)
+            x = ln("final_layer_norm")(x + ffn(x)).astype(dt)
+        return x, position_bias
+
+
+class SpeechEncoderModel(nn.Module):
+    """Full model: wav → conv frontend → projection → transformer stack.
+
+    Returns a dict with ``hidden_states`` (num_layers+1 entries, HF
+    indexing: [0] = post-positional-conv embeddings, [i] = layer i-1 output,
+    final entry carries the closing LayerNorm for stable-LN models),
+    ``last_hidden_state`` and the frame-level ``frame_mask``.
+    """
+
+    config: SpeechConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        wav: jnp.ndarray,  # [B, L] (already feature-extractor-normalized)
+        wav_mask: Optional[jnp.ndarray] = None,  # [B, L], 1 = valid sample
+    ):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        feats = ConvFeatureExtractor(cfg, name="feature_extractor")(wav)
+        B, T, _ = feats.shape
+
+        if wav_mask is not None:
+            lengths = feat_extract_output_length(
+                wav_mask.sum(axis=-1).astype(jnp.int32), cfg
+            )
+            frame_mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+        else:
+            frame_mask = jnp.ones((B, T), jnp.float32)
+
+        h = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+            name="fp_layer_norm",
+        )(feats).astype(dt)
+        h = nn.Dense(
+            cfg.hidden_size, dtype=dt, param_dtype=jnp.float32, name="fp_projection"
+        )(h)
+
+        # zero padded frames before the positional conv (HF semantics)
+        h = h * frame_mask[:, :, None].astype(dt)
+        h = h + PositionalConvEmbedding(cfg, name="pos_conv_embed")(h)
+        if not cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+                name="encoder_layer_norm",
+            )(h).astype(dt)
+
+        hidden_states: List[jnp.ndarray] = [h]
+        position_bias = None
+        for i in range(cfg.num_layers):
+            h, position_bias = EncoderLayer(
+                cfg, has_relative_position_bias=(i == 0), name=f"layer{i}"
+            )(h, frame_mask, position_bias)
+            hidden_states.append(h)
+
+        if cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
+                name="encoder_layer_norm",
+            )(h).astype(dt)
+            hidden_states[-1] = h
+
+        return {
+            "last_hidden_state": h,
+            "hidden_states": hidden_states,
+            "frame_mask": frame_mask,
+        }

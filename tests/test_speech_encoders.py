@@ -1,0 +1,142 @@
+"""Golden parity: SpeechEncoderModel vs randomly-initialized HF models.
+
+Small random WavLM / Wav2Vec2 / Hubert configs (no downloads) are built in
+torch, converted with ``speech_hf_to_flax``, and compared on raw waveforms:
+every hidden state must match (atol≈1e-4 f32), including the mean-last-4
+variant and batched-padded-vs-single equivalence used by the extraction
+pipeline (the reference runs batch-1: preprocess_speech.py:48-67).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from interspeech_ser_tpu.models.convert_hf import speech_hf_to_flax
+from interspeech_ser_tpu.models.speech import (
+    SpeechConfig,
+    SpeechEncoderModel,
+    feat_extract_output_length,
+)
+
+RNG = np.random.default_rng(4)
+
+SMALL = dict(
+    hidden_size=48,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=96,
+    conv_dim=[16, 16, 16],
+    conv_kernel=[10, 3, 3],
+    conv_stride=[5, 2, 2],
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    num_feat_extract_layers=3,
+    layerdrop=0.0,
+    do_stable_layer_norm=True,
+    feat_extract_norm="layer",
+    conv_bias=True,
+)
+
+
+def _build_hf(family: str, **overrides):
+    torch.manual_seed(0)
+    cfg_kwargs = {**SMALL, **overrides}
+    if family == "wavlm":
+        from transformers import WavLMConfig, WavLMModel
+
+        cfg = WavLMConfig(num_buckets=32, max_bucket_distance=64, **cfg_kwargs)
+        model = WavLMModel(cfg)
+    elif family == "wav2vec2":
+        from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+        cfg = Wav2Vec2Config(**cfg_kwargs)
+        model = Wav2Vec2Model(cfg)
+    else:
+        from transformers import HubertConfig, HubertModel
+
+        cfg = HubertConfig(**cfg_kwargs)
+        model = HubertModel(cfg)
+    model.eval()
+    return cfg, model
+
+
+def _run_pair(family: str, **overrides):
+    hf_cfg, hf_model = _build_hf(family, **overrides)
+    cfg = SpeechConfig.from_hf(hf_cfg)
+    model = SpeechEncoderModel(cfg)
+    params = speech_hf_to_flax(
+        {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+    )
+    wav = RNG.normal(size=(2, 800)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(wav), output_hidden_states=True)
+    ours = model.apply({"params": params}, jnp.asarray(wav))
+    return ref, ours, (model, params, cfg)
+
+
+@pytest.mark.parametrize("family", ["wavlm", "wav2vec2", "hubert"])
+class TestSpeechParity:
+    def test_all_hidden_states_match(self, family):
+        ref, ours, _ = _run_pair(family)
+        assert len(ref.hidden_states) == len(ours["hidden_states"])
+        for i, (r, o) in enumerate(zip(ref.hidden_states, ours["hidden_states"])):
+            np.testing.assert_allclose(
+                np.asarray(o), r.numpy(), atol=2e-4,
+                err_msg=f"{family} hidden_states[{i}]",
+            )
+        np.testing.assert_allclose(
+            np.asarray(ours["last_hidden_state"]), ref.last_hidden_state.numpy(), atol=2e-4
+        )
+
+
+class TestPostLNVariant:
+    def test_wavlm_base_style(self):
+        """post-LN + group-norm conv (base checkpoints)."""
+        ref, ours, _ = _run_pair(
+            "wavlm", do_stable_layer_norm=False, feat_extract_norm="group", conv_bias=False
+        )
+        for i, (r, o) in enumerate(zip(ref.hidden_states, ours["hidden_states"])):
+            np.testing.assert_allclose(
+                np.asarray(o), r.numpy(), atol=2e-4, err_msg=f"hidden_states[{i}]"
+            )
+
+
+class TestBatchedPaddedEqualsSingle:
+    def test_extraction_batch_semantics(self):
+        """Padded batched forward == per-utterance forward after slicing."""
+        hf_cfg, hf_model = _build_hf("wavlm")
+        cfg = SpeechConfig.from_hf(hf_cfg)
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        lengths = [500, 820, 1100]
+        L = 1280
+        wav = np.zeros((3, L), np.float32)
+        mask = np.zeros((3, L), np.float32)
+        waves = []
+        for i, l in enumerate(lengths):
+            w = RNG.normal(size=l).astype(np.float32)
+            wav[i, :l] = w
+            mask[i, :l] = 1
+            waves.append(w)
+        batched = model.apply({"params": params}, jnp.asarray(wav), jnp.asarray(mask))
+        for i, w in enumerate(waves):
+            single = model.apply({"params": params}, jnp.asarray(w[None]))
+            t = feat_extract_output_length(lengths[i], cfg)
+            np.testing.assert_allclose(
+                np.asarray(batched["last_hidden_state"])[i, :t],
+                np.asarray(single["last_hidden_state"])[0],
+                atol=3e-4,
+            )
+            assert int(np.asarray(batched["frame_mask"])[i].sum()) == t
+
+    def test_mean_last4_matches_hf(self):
+        ref, ours, _ = _run_pair("wavlm")
+        hf_mean = torch.stack(ref.hidden_states[-4:]).mean(0).numpy()
+        our_mean = np.mean(
+            np.stack([np.asarray(h) for h in ours["hidden_states"][-4:]]), axis=0
+        )
+        np.testing.assert_allclose(our_mean, hf_mean, atol=2e-4)
