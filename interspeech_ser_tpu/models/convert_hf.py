@@ -131,3 +131,110 @@ def speech_hf_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
             sd[f"{base}.feed_forward.output_dense.bias"],
         )
     return p
+
+
+def whisper_encoder_hf_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
+    """HF WhisperEncoder state dict → WhisperEncoderModel params.
+
+    Accepts dicts from ``WhisperModel.encoder.state_dict()`` (keys like
+    ``conv1.weight``) or full-model dicts with ``model.encoder.`` /
+    ``encoder.`` prefixes (stripped here).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    for prefix in ("model.encoder.", "encoder."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+            break
+
+    p: Dict = {}
+    _put(p, ("conv1", "kernel"), _conv(sd["conv1.weight"]))
+    _put(p, ("conv1", "bias"), sd["conv1.bias"])
+    _put(p, ("conv2", "kernel"), _conv(sd["conv2.weight"]))
+    _put(p, ("conv2", "bias"), sd["conv2.bias"])
+    _put(p, ("embed_positions",), sd["embed_positions.weight"])
+    _put(p, ("layer_norm", "scale"), sd["layer_norm.weight"])
+    _put(p, ("layer_norm", "bias"), sd["layer_norm.bias"])
+    for i in range(config.encoder_layers):
+        base = f"layers.{i}"
+        dst = f"layer{i}"
+        for proj in ("q_proj", "v_proj", "out_proj"):
+            _put(p, (dst, "self_attn", proj, "kernel"), _t(sd[f"{base}.self_attn.{proj}.weight"]))
+            _put(p, (dst, "self_attn", proj, "bias"), sd[f"{base}.self_attn.{proj}.bias"])
+        _put(p, (dst, "self_attn", "k_proj", "kernel"), _t(sd[f"{base}.self_attn.k_proj.weight"]))
+        _put(p, (dst, "self_attn_layer_norm", "scale"), sd[f"{base}.self_attn_layer_norm.weight"])
+        _put(p, (dst, "self_attn_layer_norm", "bias"), sd[f"{base}.self_attn_layer_norm.bias"])
+        _put(p, (dst, "final_layer_norm", "scale"), sd[f"{base}.final_layer_norm.weight"])
+        _put(p, (dst, "final_layer_norm", "bias"), sd[f"{base}.final_layer_norm.bias"])
+        _put(p, (dst, "fc1", "kernel"), _t(sd[f"{base}.fc1.weight"]))
+        _put(p, (dst, "fc1", "bias"), sd[f"{base}.fc1.bias"])
+        _put(p, (dst, "fc2", "kernel"), _t(sd[f"{base}.fc2.weight"]))
+        _put(p, (dst, "fc2", "bias"), sd[f"{base}.fc2.bias"])
+    return p
+
+
+def roberta_hf_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
+    """HF RobertaModel state dict → RobertaModel (flax) params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if any(k.startswith("roberta.") for k in sd):
+        sd = {k[len("roberta."):]: v for k, v in sd.items() if k.startswith("roberta.")}
+    p: Dict = {}
+    _put(p, ("word_embeddings",), sd["embeddings.word_embeddings.weight"])
+    _put(p, ("position_embeddings",), sd["embeddings.position_embeddings.weight"])
+    _put(p, ("token_type_embeddings",), sd["embeddings.token_type_embeddings.weight"])
+    _put(p, ("emb_layer_norm", "scale"), sd["embeddings.LayerNorm.weight"])
+    _put(p, ("emb_layer_norm", "bias"), sd["embeddings.LayerNorm.bias"])
+    for i in range(config.num_layers):
+        base = f"encoder.layer.{i}"
+        dst = f"layer{i}"
+        for src, name in (("query", "query"), ("key", "key"), ("value", "value")):
+            _put(p, (dst, "self", name, "kernel"), _t(sd[f"{base}.attention.self.{src}.weight"]))
+            _put(p, (dst, "self", name, "bias"), sd[f"{base}.attention.self.{src}.bias"])
+        _put(p, (dst, "attn_output", "kernel"), _t(sd[f"{base}.attention.output.dense.weight"]))
+        _put(p, (dst, "attn_output", "bias"), sd[f"{base}.attention.output.dense.bias"])
+        _put(p, (dst, "attn_layer_norm", "scale"), sd[f"{base}.attention.output.LayerNorm.weight"])
+        _put(p, (dst, "attn_layer_norm", "bias"), sd[f"{base}.attention.output.LayerNorm.bias"])
+        _put(p, (dst, "intermediate", "kernel"), _t(sd[f"{base}.intermediate.dense.weight"]))
+        _put(p, (dst, "intermediate", "bias"), sd[f"{base}.intermediate.dense.bias"])
+        _put(p, (dst, "output", "kernel"), _t(sd[f"{base}.output.dense.weight"]))
+        _put(p, (dst, "output", "bias"), sd[f"{base}.output.dense.bias"])
+        _put(p, (dst, "output_layer_norm", "scale"), sd[f"{base}.output.LayerNorm.weight"])
+        _put(p, (dst, "output_layer_norm", "bias"), sd[f"{base}.output.LayerNorm.bias"])
+    return p
+
+
+def deberta_v2_hf_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
+    """HF DebertaV2Model state dict → DebertaV2Model (flax) params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if any(k.startswith("deberta.") for k in sd):
+        sd = {k[len("deberta."):]: v for k, v in sd.items() if k.startswith("deberta.")}
+    p: Dict = {}
+    _put(p, ("word_embeddings",), sd["embeddings.word_embeddings.weight"])
+    if config.position_biased_input:
+        _put(p, ("position_embeddings",), sd["embeddings.position_embeddings.weight"])
+    _put(p, ("emb_layer_norm", "scale"), sd["embeddings.LayerNorm.weight"])
+    _put(p, ("emb_layer_norm", "bias"), sd["embeddings.LayerNorm.bias"])
+    _put(p, ("rel_embeddings",), sd["encoder.rel_embeddings.weight"])
+    _put(p, ("rel_emb_layer_norm", "scale"), sd["encoder.LayerNorm.weight"])
+    _put(p, ("rel_emb_layer_norm", "bias"), sd["encoder.LayerNorm.bias"])
+    if config.conv_kernel_size > 0:
+        _put(p, ("conv", "kernel"), _conv(sd["encoder.conv.conv.weight"]))
+        _put(p, ("conv", "bias"), sd["encoder.conv.conv.bias"])
+        _put(p, ("conv_layer_norm", "scale"), sd["encoder.conv.LayerNorm.weight"])
+        _put(p, ("conv_layer_norm", "bias"), sd["encoder.conv.LayerNorm.bias"])
+    for i in range(config.num_layers):
+        base = f"encoder.layer.{i}"
+        dst = f"layer{i}"
+        for proj in ("query_proj", "key_proj", "value_proj"):
+            _put(p, (dst, "self", proj, "kernel"), _t(sd[f"{base}.attention.self.{proj}.weight"]))
+            _put(p, (dst, "self", proj, "bias"), sd[f"{base}.attention.self.{proj}.bias"])
+        _put(p, (dst, "attn_output", "kernel"), _t(sd[f"{base}.attention.output.dense.weight"]))
+        _put(p, (dst, "attn_output", "bias"), sd[f"{base}.attention.output.dense.bias"])
+        _put(p, (dst, "attn_layer_norm", "scale"), sd[f"{base}.attention.output.LayerNorm.weight"])
+        _put(p, (dst, "attn_layer_norm", "bias"), sd[f"{base}.attention.output.LayerNorm.bias"])
+        _put(p, (dst, "intermediate", "kernel"), _t(sd[f"{base}.intermediate.dense.weight"]))
+        _put(p, (dst, "intermediate", "bias"), sd[f"{base}.intermediate.dense.bias"])
+        _put(p, (dst, "output", "kernel"), _t(sd[f"{base}.output.dense.weight"]))
+        _put(p, (dst, "output", "bias"), sd[f"{base}.output.dense.bias"])
+        _put(p, (dst, "output_layer_norm", "scale"), sd[f"{base}.output.LayerNorm.weight"])
+        _put(p, (dst, "output_layer_norm", "bias"), sd[f"{base}.output.LayerNorm.bias"])
+    return p

@@ -1,0 +1,131 @@
+"""Golden parity: RoBERTa + DeBERTa-v2 vs randomly-initialized HF models."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from interspeech_ser_tpu.models.convert_hf import deberta_v2_hf_to_flax, roberta_hf_to_flax
+from interspeech_ser_tpu.models.text import (
+    DebertaV2Config,
+    DebertaV2Model,
+    RobertaConfig,
+    RobertaModel,
+)
+
+RNG = np.random.default_rng(8)
+
+
+def _ids_and_mask(vocab, B=2, T=24, pad=1):
+    lengths = [T, T - 7]
+    ids = np.full((B, T), pad, np.int64)
+    mask = np.zeros((B, T), np.int64)
+    for i, l in enumerate(lengths):
+        ids[i, :l] = RNG.integers(pad + 2, vocab, size=l)
+        mask[i, :l] = 1
+    return ids, mask, lengths
+
+
+class TestRobertaParity:
+    def _build(self):
+        from transformers import RobertaConfig as HFConfig, RobertaModel as HFModel
+
+        torch.manual_seed(0)
+        hf_cfg = HFConfig(
+            vocab_size=200, hidden_size=32, num_hidden_layers=3,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, type_vocab_size=1, pad_token_id=1,
+        )
+        hf = HFModel(hf_cfg, add_pooling_layer=False)
+        hf.eval()
+        cfg = RobertaConfig.from_hf(hf_cfg)
+        params = roberta_hf_to_flax({k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+        return hf, RobertaModel(cfg), params
+
+    def test_hidden_states_match(self):
+        hf, model, params = self._build()
+        ids, mask, _ = _ids_and_mask(200)
+        with torch.no_grad():
+            ref = hf(
+                torch.tensor(ids), attention_mask=torch.tensor(mask),
+                output_hidden_states=True,
+            )
+        ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        assert len(ref.hidden_states) == len(ours["hidden_states"])
+        for i, (r, o) in enumerate(zip(ref.hidden_states, ours["hidden_states"])):
+            # padded positions differ (HF lets them attend; values unused) —
+            # compare valid positions only
+            np.testing.assert_allclose(
+                np.asarray(o)[0], r.numpy()[0], atol=2e-4, err_msg=f"h[{i}] row0"
+            )
+            np.testing.assert_allclose(
+                np.asarray(o)[1, :17], r.numpy()[1, :17], atol=2e-4, err_msg=f"h[{i}] row1"
+            )
+
+    def test_batched_padded_equals_single(self):
+        hf, model, params = self._build()
+        ids, mask, lengths = _ids_and_mask(200)
+        ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        single = model.apply({"params": params}, jnp.asarray(ids[1:, : lengths[1]]))
+        np.testing.assert_allclose(
+            np.asarray(ours["last_hidden_state"])[1, : lengths[1]],
+            np.asarray(single["last_hidden_state"])[0],
+            atol=2e-4,
+        )
+
+
+class TestDebertaV2Parity:
+    def _build(self, **overrides):
+        from transformers import DebertaV2Config as HFConfig, DebertaV2Model as HFModel
+
+        torch.manual_seed(1)
+        kwargs = dict(
+            vocab_size=200, hidden_size=32, num_hidden_layers=3,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, type_vocab_size=0,
+            relative_attention=True, position_buckets=8,
+            norm_rel_ebd="layer_norm", share_att_key=True,
+            pos_att_type=["p2c", "c2p"], position_biased_input=False,
+            conv_kernel_size=3, conv_act="gelu", layer_norm_eps=1e-7,
+        )
+        kwargs.update(overrides)
+        hf_cfg = HFConfig(**kwargs)
+        hf = HFModel(hf_cfg)
+        hf.eval()
+        cfg = DebertaV2Config.from_hf(hf_cfg)
+        params = deberta_v2_hf_to_flax(
+            {k: v.numpy() for k, v in hf.state_dict().items()}, cfg
+        )
+        return hf, DebertaV2Model(cfg), params
+
+    def test_hidden_states_match(self):
+        hf, model, params = self._build()
+        ids, mask, lengths = _ids_and_mask(200, pad=0)
+        with torch.no_grad():
+            ref = hf(
+                torch.tensor(ids), attention_mask=torch.tensor(mask),
+                output_hidden_states=True,
+            )
+        ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        assert len(ref.hidden_states) == len(ours["hidden_states"])
+        for i, (r, o) in enumerate(zip(ref.hidden_states, ours["hidden_states"])):
+            np.testing.assert_allclose(
+                np.asarray(o)[0], r.numpy()[0], atol=3e-4, err_msg=f"h[{i}] row0"
+            )
+            np.testing.assert_allclose(
+                np.asarray(o)[1, : lengths[1]], r.numpy()[1, : lengths[1]],
+                atol=3e-4, err_msg=f"h[{i}] row1",
+            )
+
+    def test_no_bucket_variant(self):
+        """position_buckets=-1 → raw relative positions (deberta-v2 default)."""
+        hf, model, params = self._build(position_buckets=-1, conv_kernel_size=0)
+        ids, mask, _ = _ids_and_mask(200, T=16, pad=0)
+        with torch.no_grad():
+            ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask))
+        ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+        np.testing.assert_allclose(
+            np.asarray(ours["last_hidden_state"])[0],
+            ref.last_hidden_state.numpy()[0],
+            atol=3e-4,
+        )
