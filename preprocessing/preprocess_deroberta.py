@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""TPU-native replacement for the reference script of the same name.
+
+Thin wrapper over interspeech_ser_tpu.preprocess_cli — identical CLI flags
+(reference: preprocessing/preprocess_deroberta.py).
+"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from interspeech_ser_tpu.preprocess_cli import deroberta_main
+
+if __name__ == "__main__":
+    deroberta_main()
