@@ -238,3 +238,88 @@ def deberta_v2_hf_to_flax(sd: Dict[str, np.ndarray], config) -> Dict:
         _put(p, (dst, "output_layer_norm", "scale"), sd[f"{base}.output.LayerNorm.weight"])
         _put(p, (dst, "output_layer_norm", "bias"), sd[f"{base}.output.LayerNorm.bias"])
     return p
+
+
+def _unconv(k) -> np.ndarray:  # [k, in/g, out] -> [out, in/g, k]
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (2, 1, 0)))
+
+
+def speech_flax_to_hf(params: Dict, config) -> Dict[str, np.ndarray]:
+    """SpeechEncoderModel params → HF WavLM/Wav2Vec2/Hubert state dict.
+
+    Inverse of :func:`speech_hf_to_flax`; used to export ``final_ssl.pt``
+    checkpoints the reference's eval scripts can reload into HF models
+    (reference: benchmark/train_eval_files/eval_cat_ser.py:115). The folded
+    positional-conv kernel is re-decomposed into the torch weight_norm
+    parametrization (v = kernel, g = ‖kernel‖ over dims (0,1)) — an exact
+    decomposition of the same effective weight.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def get(*path):
+        node = params
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    for i in range(len(config.conv_dim)):
+        base = f"feature_extractor.conv_layers.{i}"
+        sd[f"{base}.conv.weight"] = _unconv(get("feature_extractor", f"conv{i}", "kernel"))
+        if config.conv_bias:
+            sd[f"{base}.conv.bias"] = get("feature_extractor", f"conv{i}", "bias")
+        if config.feat_extract_norm == "layer":
+            sd[f"{base}.layer_norm.weight"] = get("feature_extractor", f"conv_ln{i}", "scale")
+            sd[f"{base}.layer_norm.bias"] = get("feature_extractor", f"conv_ln{i}", "bias")
+        elif i == 0:
+            sd[f"{base}.layer_norm.weight"] = get("feature_extractor", "group_norm", "scale")
+            sd[f"{base}.layer_norm.bias"] = get("feature_extractor", "group_norm", "bias")
+
+    sd["feature_projection.layer_norm.weight"] = get("fp_layer_norm", "scale")
+    sd["feature_projection.layer_norm.bias"] = get("fp_layer_norm", "bias")
+    sd["feature_projection.projection.weight"] = get("fp_projection", "kernel").T
+    sd["feature_projection.projection.bias"] = get("fp_projection", "bias")
+
+    pos_kernel = _unconv(get("pos_conv_embed", "conv", "kernel"))  # [out, in/g, k]
+    g = np.sqrt((pos_kernel ** 2).sum(axis=(0, 1), keepdims=True))  # [1,1,k]
+    sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"] = g
+    # v = kernel, g = ‖kernel‖ ⇒ effective weight g·v/‖v‖ == kernel exactly
+    sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"] = pos_kernel
+    sd["encoder.pos_conv_embed.conv.bias"] = get("pos_conv_embed", "conv", "bias")
+    sd["encoder.layer_norm.weight"] = get("encoder_layer_norm", "scale")
+    sd["encoder.layer_norm.bias"] = get("encoder_layer_norm", "bias")
+
+    for i in range(config.num_layers):
+        base = f"encoder.layers.{i}"
+        src = f"layer{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{base}.attention.{proj}.weight"] = get(src, "attention", proj, "kernel").T
+            sd[f"{base}.attention.{proj}.bias"] = get(src, "attention", proj, "bias")
+        if config.attention_type == "wavlm":
+            sd[f"{base}.attention.gru_rel_pos_linear.weight"] = get(
+                src, "attention", "gru_rel_pos_linear", "kernel"
+            ).T
+            sd[f"{base}.attention.gru_rel_pos_linear.bias"] = get(
+                src, "attention", "gru_rel_pos_linear", "bias"
+            )
+            sd[f"{base}.attention.gru_rel_pos_const"] = get(src, "attention", "gru_rel_pos_const")
+            if i == 0:
+                sd[f"{base}.attention.rel_attn_embed.weight"] = get(
+                    src, "attention", "rel_attn_embed"
+                )
+        sd[f"{base}.layer_norm.weight"] = get(src, "layer_norm", "scale")
+        sd[f"{base}.layer_norm.bias"] = get(src, "layer_norm", "bias")
+        sd[f"{base}.final_layer_norm.weight"] = get(src, "final_layer_norm", "scale")
+        sd[f"{base}.final_layer_norm.bias"] = get(src, "final_layer_norm", "bias")
+        sd[f"{base}.feed_forward.intermediate_dense.weight"] = get(
+            src, "feed_forward", "intermediate_dense", "kernel"
+        ).T
+        sd[f"{base}.feed_forward.intermediate_dense.bias"] = get(
+            src, "feed_forward", "intermediate_dense", "bias"
+        )
+        sd[f"{base}.feed_forward.output_dense.weight"] = get(
+            src, "feed_forward", "output_dense", "kernel"
+        ).T
+        sd[f"{base}.feed_forward.output_dense.bias"] = get(
+            src, "feed_forward", "output_dense", "bias"
+        )
+    return sd

@@ -228,7 +228,7 @@ class SpeechSelfAttention(nn.Module):
         k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
 
-        bias = None
+        gate_out = None
         if cfg.attention_type == "wavlm":
             if self.has_relative_position_bias:
                 rel_embed = self.param(
@@ -253,10 +253,14 @@ class SpeechSelfAttention(nn.Module):
             const = self.param(
                 "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1), jnp.float32
             )
-            gate_out = gate_a * (gate_b * const - 1.0) + 2.0  # [B,H,T,1]
-            bias = gate_out * position_bias[None]  # [B,H,T,T]
+            gate_out = (gate_a * (gate_b * const - 1.0) + 2.0)[..., 0]  # [B,H,T]
 
-        out = dot_product_attention(q, k, v, bias=bias, key_mask=key_mask)
+        # bias stays FACTORED (gate · pos_bias): the flash kernel streams it
+        # tile-by-tile instead of materializing [B,H,T,T] in HBM
+        out = dot_product_attention(
+            q, k, v, key_mask=key_mask, gate=gate_out,
+            shared_bias=position_bias if cfg.attention_type == "wavlm" else None,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="out_proj")(out)
         return out, position_bias

