@@ -153,3 +153,81 @@ def roberta_main(argv=None):
 
 def deroberta_main(argv=None):
     return _text_main(argv, "deberta")
+
+
+def _pretrained_parser():
+    p = _speech_parser()
+    # reference hardcodes the checkpoint path (preprocess_speech_pretrained.py:173);
+    # exposed as a flag with the same default semantics
+    p.add_argument("--lora_ckpt", type=str, default="whisper_lora_ser.pt")
+    p.add_argument("--lora_rank", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    return p
+
+
+def speech_pretrained_main(argv=None):
+    """LoRA-fine-tuned WavLM extraction (preprocess_speech_pretrained.py).
+
+    The reference extracts with the peft-wrapped model (adapters active,
+    L170-176); merging W+(α/r)AB is the identical forward with dropout off.
+    """
+    args = _pretrained_parser().parse_args(argv)
+    average = args.use_average == "y"
+    print(f"Using average = {average}")
+    wav_names = _audit_wavs(args.wav_dir)
+    if wav_names is None:
+        return None
+
+    from .extract.pipeline import SpeechExtractionPipeline
+    from .models import lora as lora_lib
+    from .models.loader import build_speech_encoder
+    from .utils import ptio
+
+    print(f"Extracting features using {args.ssl_type} + LoRA {args.lora_ckpt}")
+    model, params, cfg, do_normalize = build_speech_encoder(args.ssl_type, dtype=args.dtype)
+    sd = ptio.load_state_dict(args.lora_ckpt)
+    if any(".lora_A.default." in k for k in sd):
+        lora = lora_lib.lora_from_peft_state_dict(sd)
+    else:
+        lora = lora_lib.lora_from_state_dict(sd)
+    params = lora_lib.merge_lora(params, lora, args.lora_alpha, args.lora_rank)
+
+    pipe = SpeechExtractionPipeline(
+        model, params, cfg, n_layer=args.n_layer, use_average=average,
+        do_normalize=do_normalize, num_workers=args.num_workers,
+    )
+    stats = pipe.run(args.wav_dir, args.save_path, wav_names)
+    print(f"extracted {stats.n_utts} utts in {stats.wall_seconds:.1f}s")
+    return stats
+
+
+def whisper_pretrained_main(argv=None):
+    """LoRA-fine-tuned Whisper-encoder extraction (preprocess_whisper_pretrained.py)."""
+    args = _pretrained_parser().parse_args(argv)
+    average = args.use_average == "y"
+    print(f"Using average = {average}")
+    wav_names = _audit_wavs(args.wav_dir)
+    if wav_names is None:
+        return None
+
+    from .extract.pipeline import WhisperExtractionPipeline
+    from .models import lora as lora_lib
+    from .models.loader import build_whisper_encoder
+    from .utils import ptio
+
+    print(f"Extracting features using {args.ssl_type} + LoRA {args.lora_ckpt}")
+    model, params, cfg = build_whisper_encoder(args.ssl_type, dtype=args.dtype)
+    sd = ptio.load_state_dict(args.lora_ckpt)
+    if any(".lora_A.default." in k for k in sd):
+        lora = lora_lib.lora_from_peft_state_dict(sd)
+    else:
+        lora = lora_lib.lora_from_state_dict(sd)
+    params = lora_lib.merge_lora(params, lora, args.lora_alpha, args.lora_rank)
+
+    pipe = WhisperExtractionPipeline(
+        model, params, cfg, n_layer=args.n_layer, use_average=average,
+        num_workers=args.num_workers,
+    )
+    stats = pipe.run(args.wav_dir, args.save_path, wav_names)
+    print(f"extracted {stats.n_utts} utts in {stats.wall_seconds:.1f}s")
+    return stats

@@ -48,7 +48,7 @@ def load_tensor(path: str) -> np.ndarray:
 def save_state_dict(tree: Dict[str, Any], path: str) -> None:
     """Save a flat ``{name: array}`` dict as a torch state_dict ``.pt``."""
     if _HAS_TORCH:
-        sd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v))) for k, v in tree.items()}
+        sd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)).copy()) for k, v in tree.items()}
         torch.save(sd, path)
     else:  # pragma: no cover
         raise NotImplementedError("pure-python .pt writer requires torch")
