@@ -231,3 +231,106 @@ def whisper_pretrained_main(argv=None):
     stats = pipe.run(args.wav_dir, args.save_path, wav_names)
     print(f"extracted {stats.n_utts} utts in {stats.wall_seconds:.1f}s")
     return stats
+
+
+def _ns3_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--save_path", type=str, default="./")
+    p.add_argument("--wav_dir", type=str, default="./")
+    p.add_argument("--num_workers", type=int, default=4)
+    # reference hardcodes these paths (preprocess_ns3_prosody.py:124-130)
+    p.add_argument("--encoder_ckpt", type=str,
+                   default="./pretrained_models/ns3/ns3_facodec_encoder_v2.bin")
+    p.add_argument("--decoder_ckpt", type=str,
+                   default="./pretrained_models/ns3/ns3_facodec_decoder_v2.bin")
+    p.add_argument("--batch_size", type=int, default=16)
+    return p
+
+
+def ns3_prosody_main(speaker: bool = False, argv=None):
+    """FACodec prosody (256-d) / prosody+speaker (512-d) extraction.
+
+    Reference semantics (preprocess_ns3_prosody[_speaker].py:41-62): wav
+    zero-padded to %200, per-utterance batch-1 forward, save [T, D].
+    Batched here with host reflect-padded mel input + frame masks, which
+    reproduces the batch-1 outputs (models/ns3/facodec.py docstring).
+    """
+    import concurrent.futures as cf
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    args = _ns3_parser().parse_args(argv)
+    wav_names = _audit_wavs(args.wav_dir)
+    if wav_names is None:
+        return None
+    os.makedirs(args.save_path, exist_ok=True)
+
+    from .models.ns3 import (
+        ProsodyExtractor,
+        ns3_decoder_prosody_params_from_torch,
+        ns3_encoder_params_from_torch,
+    )
+    from .utils import ptio
+    from .utils.audio import load_wav
+
+    dec_sd = ptio.load_state_dict(args.decoder_ckpt)
+    params = ns3_decoder_prosody_params_from_torch(dec_sd, with_speaker=speaker)
+    if speaker:
+        enc_sd = ptio.load_state_dict(args.encoder_ckpt)
+        params["encoder"] = ns3_encoder_params_from_torch(enc_sd)
+    extractor = ProsodyExtractor(params, with_speaker=speaker)
+
+    t0 = time.perf_counter()
+    pool = cf.ThreadPoolExecutor(max_workers=args.num_workers)
+
+    def load(name):
+        try:
+            y, _ = load_wav(os.path.join(args.wav_dir, name), target_sr=16000)
+            return np.pad(y, (0, 200 - len(y) % 200))  # reference pad-to-%200
+        except Exception as e:
+            print(f"Failed to process {name}: {e}")
+            return None
+
+    waves = list(pool.map(load, wav_names))
+    ok = sorted(
+        [(n, w) for n, w in zip(wav_names, waves) if w is not None],
+        key=lambda kv: len(kv[1]),
+    )
+    writer = cf.ThreadPoolExecutor(max_workers=args.num_workers)
+    pending = []
+    fwd_cache = {}
+    bs = args.batch_size
+    n_done = 0
+    for s in range(0, len(ok), bs):
+        chunk = ok[s : s + bs]
+        Lb = ((max(len(w) for _, w in chunk) + 3199) // 3200) * 3200
+        Tb = Lb // 200
+        wav = np.zeros((bs, Lb), np.float32)
+        refl = np.zeros((bs, Lb + 824), np.float32)
+        fmask = np.zeros((bs, Tb), np.float32)
+        for i, (_, w) in enumerate(chunk):
+            wav[i, : len(w)] = w
+            refl[i, : len(w) + 824] = np.pad(w, (412, 412), mode="reflect")
+            fmask[i, : len(w) // 200] = 1
+        sig = wav.shape
+        if sig not in fwd_cache:
+            fwd_cache[sig] = jax.jit(extractor.extract_batched)
+        feats = np.asarray(
+            fwd_cache[sig](jnp.asarray(wav), jnp.asarray(refl), jnp.asarray(fmask))
+        )
+        for i, (name, w) in enumerate(chunk):
+            stem = os.path.splitext(os.path.basename(name))[0]
+            out = os.path.join(args.save_path, f"{stem}.pt")
+            pending.append(
+                writer.submit(ptio.save_tensor, feats[i, : len(w) // 200].copy(), out)
+            )
+            n_done += 1
+    for f in pending:
+        f.result()
+    dt = time.perf_counter() - t0
+    print(f"extracted {n_done} utts in {dt:.1f}s")
+    return n_done
