@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""TPU-native replacement for the legacy reference script of the same name.
+
+Thin wrapper over interspeech_ser_tpu.cli.train_main with the engine
+options that reproduce the variant (reference: bin/old/train_cat_bimodal_lazy_gender.py).
+"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from interspeech_ser_tpu.cli import train_main
+
+if __name__ == "__main__":
+    train_main(gender_mode='aux', gender_labels_csv=os.environ.get('GENDER_LABELS_CSV'))

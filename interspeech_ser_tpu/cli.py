@@ -38,12 +38,23 @@ def _parser(extract: bool = False, test: bool = False) -> argparse.ArgumentParse
     return p
 
 
-def _engine(cfg, seed: int, ranking: bool, trimodal: bool) -> FusionEngine:
-    options = EngineOptions(ranking=ranking, focal_dynamic_alpha=trimodal)
+def _engine(cfg, seed: int, ranking: bool, trimodal: bool, **overrides) -> FusionEngine:
+    options = EngineOptions(
+        ranking=ranking, focal_dynamic_alpha=trimodal, **overrides
+    )
     return FusionEngine(cfg, seed=seed, options=options)
 
 
-def train_main(ranking: bool = False, trimodal: bool = False, argv=None) -> dict:
+def train_main(
+    ranking: bool = False,
+    trimodal: bool = False,
+    argv=None,
+    gender_labels_csv: str = None,
+    **engine_overrides,
+) -> dict:
+    """Fusion trainer; ``engine_overrides`` expose the legacy bin/old
+    capability surface (task='dim', loss_type, cka_weight, gender_mode,
+    model_variant='moe', mse_weight — see EngineOptions)."""
     args = _parser().parse_args(argv)
     set_deterministic(seed=args.seed)
     cfg = load_fusion_config(args.config_path, trimodal=trimodal or None)
@@ -59,15 +70,26 @@ def train_main(ranking: bool = False, trimodal: bool = False, argv=None) -> dict
     logger.info(f"Using focalloss = {cfg.use_focalloss}")
 
     df = L.load_merged(cfg.label_path, cfg.txt_dir)
+    if engine_overrides.get("gender_mode") and gender_labels_csv:
+        # gender targets from labels_consensus (…_grlgender.py:143-149)
+        import pandas as pd
+
+        gdf = pd.read_csv(gender_labels_csv)
+        df = df.merge(gdf[["FileName", "Gender"]], on="FileName", how="left")
+        df["target_gender"] = df["Gender"].map({"Female": 0, "Male": 1}).fillna(0).astype(int)
     train_df = L.split(df, "Train")
     val_df = L.split(df, "Development")
-    logger.info(f"Class weights: {L.class_weights(train_df)}")
+    if engine_overrides.get("task") != "dim":
+        logger.info(f"Class weights: {L.class_weights(train_df)}")
 
-    engine = _engine(cfg, args.seed, ranking, trimodal)
+    engine = _engine(cfg, args.seed, ranking, trimodal, **engine_overrides)
     engine.init_params()
     logger.info("Starting training...")
     best = engine.fit(train_df, val_df, log=logger)
-    logger.info(f"Best epoch {best['epoch']+1}: dev macro-F1 = {best['macro_f1']:.6f}")
+    if engine_overrides.get("task") == "dim":
+        logger.info(f"Best epoch {best['epoch']+1}: dev loss = {best['dev_loss']:.6f}")
+    else:
+        logger.info(f"Best epoch {best['epoch']+1}: dev macro-F1 = {best['macro_f1']:.6f}")
     return best
 
 

@@ -67,6 +67,9 @@ class MultiModalEmotionClassifier(nn.Module):
     num_emotions: int = 8
     dropout: float = 0.5
     neutral_head: bool = False
+    # 'grl' = adversarial gender head (…_grlgender.py), 'aux' = plain aux
+    # head (…_gender.py); adds a second output alongside the logits
+    gender_head: Optional[str] = None
     masked: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
@@ -76,6 +79,7 @@ class MultiModalEmotionClassifier(nn.Module):
         feats: Sequence[jnp.ndarray],  # list of [B, T_m, D_m]
         masks: Optional[Sequence[jnp.ndarray]] = None,  # list of [B, T_m]
         deterministic: bool = True,
+        output_dict: bool = False,
     ):
         n_mod = len(self.feat_dims)
         assert len(feats) == n_mod and n_mod in (2, 3)
@@ -137,6 +141,28 @@ class MultiModalEmotionClassifier(nn.Module):
             return nn.Dense(out_dim, param_dtype=self.param_dtype, name=f"{prefix}_fc2")(h)
 
         logits = head("classifier", self.num_emotions)
+        neutral = head("neutral", 1) if self.neutral_head else None
+        gender = None
+        if self.gender_head is not None:
+            from .fusion_variants import GenderAdversaryHead
+
+            gender = GenderAdversaryHead(
+                H, use_grl=(self.gender_head == "grl"), dropout=self.dropout,
+                name="gender_classifier",
+            )(normalized, deterministic=deterministic)
+
+        if output_dict:
+            return {
+                "logits": logits,
+                "neutral": neutral,
+                "gender": gender,
+                "pooled": pooled,
+                "fused": normalized,
+            }
+        if self.neutral_head and gender is not None:
+            return logits, neutral, gender
         if self.neutral_head:
-            return logits, head("neutral", 1)
+            return logits, neutral
+        if gender is not None:
+            return logits, gender
         return logits

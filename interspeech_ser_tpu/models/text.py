@@ -136,7 +136,8 @@ class RobertaModel(nn.Module):
         mask_i = (input_ids != cfg.pad_token_id).astype(jnp.int32)
         position_ids = jnp.cumsum(mask_i, axis=1) * mask_i + cfg.pad_token_id
 
-        h = word_emb[input_ids] + pos_emb[position_ids] + type_emb[jnp.zeros_like(input_ids)]
+        h = (jnp.asarray(word_emb)[input_ids] + jnp.asarray(pos_emb)[position_ids]
+             + jnp.asarray(type_emb)[jnp.zeros_like(input_ids)])
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
             name="emb_layer_norm",
@@ -321,13 +322,13 @@ class DebertaV2Model(nn.Module):
             "word_embeddings", nn.initializers.normal(0.02),
             (cfg.vocab_size, cfg.hidden_size), jnp.float32,
         )
-        h = word_emb[input_ids]
+        h = jnp.asarray(word_emb)[input_ids]
         if cfg.position_biased_input:
             pos_emb = self.param(
                 "position_embeddings", nn.initializers.normal(0.02),
                 (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32,
             )
-            h = h + pos_emb[jnp.arange(input_ids.shape[1])][None]
+            h = h + jnp.asarray(pos_emb)[jnp.arange(input_ids.shape[1])][None]
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, param_dtype=jnp.float32,
             name="emb_layer_norm",

@@ -54,6 +54,7 @@ class Batch:
     labels: np.ndarray
     sample_mask: np.ndarray
     utts: List[str]
+    aux: Optional[np.ndarray] = None  # e.g. gender targets (grl/aux variants)
 
 
 class LazyFeatureDataset:
@@ -66,10 +67,12 @@ class LazyFeatureDataset:
         lazy_dirs: Sequence[str],
         feat_dims: Sequence[int],
         num_workers: int = 8,
+        aux_labels: Optional[np.ndarray] = None,
     ):
         assert len(utt_names) == len(labels)
         self.utt_names = list(utt_names)
         self.labels = np.asarray(labels, dtype=np.float32)
+        self.aux_labels = None if aux_labels is None else np.asarray(aux_labels)
         self.lazy_dirs = list(lazy_dirs)
         self.feat_dims = list(feat_dims)
         self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
@@ -112,6 +115,7 @@ class LazyFeatureDataset:
         masks = [np.zeros((B, t_max[m]), np.float32) for m in range(n_mod)]
         labels = np.zeros((B, self.labels.shape[1]), np.float32)
         sample_mask = np.zeros((B,), np.float32)
+        aux = None if self.aux_labels is None else np.zeros((B,), self.aux_labels.dtype)
         utts = [""] * B
         for row, (idx, fs) in enumerate(zip(indices, feats_per_sample)):
             for m in range(n_mod):
@@ -120,8 +124,10 @@ class LazyFeatureDataset:
                 masks[m][row, :t] = 1.0
             labels[row] = self.labels[idx]
             sample_mask[row] = 1.0
+            if aux is not None:
+                aux[row] = self.aux_labels[idx]
             utts[row] = self.utt_names[idx]
-        return Batch(feats, masks, labels, sample_mask, utts)
+        return Batch(feats, masks, labels, sample_mask, utts, aux)
 
 
 def weighted_sample_indices(

@@ -89,6 +89,16 @@ class EngineOptions:
     bucket_quantum: int = 64
     log_every: int = 200
     n_devices: Optional[int] = None
+    # --- legacy bin/old capability surface (SURVEY.md §2.2) ---
+    task: str = "cat"  # 'cat' | 'dim' (train_dim_bimodal_lazy*: CCC regression)
+    loss_type: Optional[str] = None  # None→cfg flags; 'ce'|'focal'|'labelsmooth'|'hierarchical'|'f1'
+    label_smoothing: float = 0.1
+    cka_weight: float = 0.0  # couple speech/text pooled reps (…_cka.py)
+    gender_mode: Optional[str] = None  # 'grl' | 'aux' (…_grlgender.py / …_gender.py)
+    gender_weight: float = 1.0
+    mse_weight: float = 0.0  # dim-task MSE auxiliary (train_dim…: ×10 variant)
+    model_variant: str = "fusion"  # 'fusion' | 'moe' (…_moe.py)
+    num_experts: int = 4
 
 
 class FusionEngine:
@@ -100,14 +110,27 @@ class FusionEngine:
         self.opt = options or EngineOptions()
         self.mesh = make_mesh(self.opt.n_devices)
         self.n_data = self.mesh.shape["data"]
-        self.model = MultiModalEmotionClassifier(
-            feat_dims=cfg.feat_dims,
-            fusion_hidden_dim=cfg.fusion_hidden_dim,
-            num_emotions=cfg.num_emotions,
-            dropout=cfg.dropout,
-            neutral_head=self.opt.ranking,
-            masked=self.opt.masked,
-        )
+        num_out = 3 if self.opt.task == "dim" else cfg.num_emotions
+        if self.opt.model_variant == "moe":
+            from ..models.fusion_variants import MoEEmotionClassifier
+
+            self.model = MoEEmotionClassifier(
+                feat_dims=cfg.feat_dims,
+                fusion_hidden_dim=cfg.fusion_hidden_dim,
+                num_emotions=num_out,
+                num_experts=self.opt.num_experts,
+                dropout=cfg.dropout,
+            )
+        else:
+            self.model = MultiModalEmotionClassifier(
+                feat_dims=cfg.feat_dims,
+                fusion_hidden_dim=cfg.fusion_hidden_dim,
+                num_emotions=num_out,
+                dropout=cfg.dropout,
+                neutral_head=self.opt.ranking,
+                gender_head=self.opt.gender_mode,
+                masked=self.opt.masked,
+            )
         self.rng = numpy_generator(seed)
         self.key = jax.random.PRNGKey(seed)
         self.params = None
@@ -154,38 +177,87 @@ class FusionEngine:
         self.params = replicate(self.mesh, host)
 
     def save_torch_checkpoint(self, path: str):
-        sd = flax_to_torch(jax.tree.map(np.asarray, self.params), len(self.cfg.feat_dims))
+        host = jax.tree.map(np.asarray, self.params)
+        if self.opt.model_variant != "fusion" or self.opt.gender_mode is not None:
+            # variants without a reference naming contract: flat path keys
+            sd = {}
+
+            def rec(node, prefix):
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        rec(v, f"{prefix}{k}.")
+                    else:
+                        sd[f"{prefix}{k}"] = v
+
+            rec(host, "")
+            ptio.save_state_dict(sd, path)
+            return
+        sd = flax_to_torch(host, len(self.cfg.feat_dims))
         ptio.save_state_dict(sd, path)
 
     # -- jitted steps --------------------------------------------------------
 
-    def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
-        feats, masks, labels_oh, sample_mask = batch_dev
-        y = jnp.argmax(labels_oh, axis=1)
-        out = self.model.apply(
-            {"params": params},
-            feats,
-            masks=masks,
-            deterministic=deterministic,
-            rngs=None if deterministic else {"dropout": dropout_key},
+    def _apply_model(self, params, feats, masks, deterministic, dropout_key):
+        rngs = None if deterministic else {"dropout": dropout_key}
+        if self.opt.model_variant == "moe":
+            logits = self.model.apply(
+                {"params": params}, feats, masks=masks,
+                deterministic=deterministic, rngs=rngs,
+            )
+            return {"logits": logits, "neutral": None, "gender": None,
+                    "pooled": None, "fused": None}
+        return self.model.apply(
+            {"params": params}, feats, masks=masks,
+            deterministic=deterministic, output_dict=True, rngs=rngs,
         )
-        if self.opt.ranking:
-            logits, neutral_logits = out
-        else:
-            logits, neutral_logits = out, None
 
+    def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
+        feats, masks, labels, sample_mask, aux_y = batch_dev
+        out = self._apply_model(params, feats, masks, deterministic, dropout_key)
+        logits = out["logits"]
+        opt = self.opt
+
+        if opt.task == "dim":
+            # 1-CCC regression (bin/old/train_dim_bimodal_lazy.py:379-390)
+            backward = losses.ccc_loss(logits, labels, sample_mask)
+            if opt.mse_weight > 0:
+                backward = backward + opt.mse_weight * losses.mse_emotion(
+                    logits, labels, sample_mask
+                )
+            return backward, (backward, logits)
+
+        y = jnp.argmax(labels, axis=1)
         ce = losses.weighted_cross_entropy(logits, y, class_w, sample_mask)
-        if self.cfg.use_focalloss:
+        loss_type = opt.loss_type or ("focal" if self.cfg.use_focalloss else "ce")
+        if loss_type == "focal":
             backward = losses.focal_loss(
                 logits, y, alpha=1.0, gamma=2.0,
-                dynamic_alpha=self.opt.focal_dynamic_alpha, sample_mask=sample_mask,
+                dynamic_alpha=opt.focal_dynamic_alpha, sample_mask=sample_mask,
             )
+        elif loss_type == "labelsmooth":
+            backward = losses.smoothed_cross_entropy(
+                logits, y, smoothing=opt.label_smoothing,
+                class_weights=class_w, sample_mask=sample_mask,
+            )
+        elif loss_type == "hierarchical":
+            backward = losses.hierarchical_loss(logits, y, class_w, sample_mask=sample_mask)
+        elif loss_type == "f1":
+            backward = losses.diff_f1_loss(logits, labels)
         else:
             backward = ce
-        if self.opt.ranking:
-            y_neutral = (2 * labels_oh[:, -1] - 1)[:, None]
+
+        if opt.ranking:
+            y_neutral = (2 * labels[:, -1] - 1)[:, None]
             backward = backward + losses.soft_margin_loss(
-                neutral_logits, y_neutral, sample_mask
+                out["neutral"], y_neutral, sample_mask
+            )
+        if opt.cka_weight > 0 and out["pooled"] is not None:
+            backward = backward + opt.cka_weight * losses.cka_loss(
+                out["pooled"][0], out["pooled"][1]
+            )
+        if opt.gender_mode is not None and aux_y is not None:
+            backward = backward + opt.gender_weight * losses.weighted_cross_entropy(
+                out["gender"], aux_y.astype(jnp.int32), None, sample_mask
             )
         return backward, (ce, logits)
 
@@ -194,10 +266,10 @@ class FusionEngine:
         if key in self._train_step_cache:
             return self._train_step_cache[key]
 
-        def step(params, opt_state, feats, masks, labels_oh, sample_mask, class_w, lr, dkey):
+        def step(params, opt_state, feats, masks, labels, sample_mask, aux_y, class_w, lr, dkey):
             def loss_fn(p):
                 return self._loss_terms(
-                    p, (feats, masks, labels_oh, sample_mask), dkey, class_w, False
+                    p, (feats, masks, labels, sample_mask, aux_y), dkey, class_w, False
                 )
 
             (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -215,10 +287,7 @@ class FusionEngine:
             return self._eval_step_cache[shape_sig]
 
         def step(params, feats, masks):
-            out = self.model.apply(
-                {"params": params}, feats, masks=masks, deterministic=True
-            )
-            return out[0] if self.opt.ranking else out
+            return self._apply_model(params, feats, masks, True, None)["logits"]
 
         fn = jax.jit(step)
         self._eval_step_cache[shape_sig] = fn
@@ -226,7 +295,9 @@ class FusionEngine:
 
     def _device_batch(self, batch: Batch):
         tree = (batch.feats, batch.masks, batch.labels, batch.sample_mask)
-        return shard_batch(self.mesh, tree)
+        feats, masks, labels, smask = shard_batch(self.mesh, tree)
+        aux = None if batch.aux is None else shard_batch(self.mesh, batch.aux)
+        return feats, masks, labels, smask, aux
 
     @staticmethod
     def _sig(batch: Batch) -> Tuple:
@@ -243,29 +314,40 @@ class FusionEngine:
         cfg = self.cfg
         logger = log or self.logger
         opt = self.opt
+        os.makedirs(cfg.model_path, exist_ok=True)
 
+        label_cols = ["EmoAct", "EmoDom", "EmoVal"] if opt.task == "dim" else L.CLASSES
+        aux_cols = None
+        if opt.gender_mode is not None:
+            # gender targets from the merged label frame (…_grlgender.py:143-149)
+            aux_cols = train_df["target_gender"].values.astype(np.int64)
         train_ds = LazyFeatureDataset(
-            train_df["FileName"].tolist(), train_df[L.CLASSES].values,
-            cfg.lazy_dirs, cfg.feat_dims,
+            train_df["FileName"].tolist(), train_df[label_cols].values,
+            cfg.lazy_dirs, cfg.feat_dims, aux_labels=aux_cols,
         )
         val_ds = LazyFeatureDataset(
-            val_df["FileName"].tolist(), val_df[L.CLASSES].values,
+            val_df["FileName"].tolist(), val_df[label_cols].values,
             cfg.lazy_dirs, cfg.feat_dims,
         )
 
-        train_w = jnp.asarray(L.class_weights(train_df))
-        val_w = L.class_weights(val_df)
-
-        if opt.ranking:
-            sample_weights = L.neutral_balanced_sample_weights(train_df)
-        elif cfg.use_balanced_batch:
-            sample_weights = L.balanced_sample_weights(train_df)
+        if opt.task == "dim":
+            train_w, val_w, sample_weights = None, None, None
+            use_cw = False
+            class_w = None
         else:
-            sample_weights = None
-        # balanced batches → unweighted CE (reference L416-419); ranking
-        # always uses the train-weights CE (…_ranking.py keeps both paths).
-        use_cw = not cfg.use_balanced_batch
-        class_w = train_w if use_cw else None
+            train_w = jnp.asarray(L.class_weights(train_df))
+            val_w = L.class_weights(val_df)
+
+            if opt.ranking:
+                sample_weights = L.neutral_balanced_sample_weights(train_df)
+            elif cfg.use_balanced_batch:
+                sample_weights = L.balanced_sample_weights(train_df)
+            else:
+                sample_weights = None
+            # balanced batches → unweighted CE (reference L416-419); ranking
+            # always uses the train-weights CE (…_ranking.py keeps both paths).
+            use_cw = not cfg.use_balanced_batch
+            class_w = train_w if use_cw else None
 
         self.tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-6
@@ -297,10 +379,10 @@ class FusionEngine:
             if cfg.accum_step == 1:
                 for i, batch in enumerate(loader):
                     step_fn = self._get_train_step(self._sig(batch), use_cw)
-                    feats, masks, labels_oh, smask = self._device_batch(batch)
+                    feats, masks, labels, smask, aux = self._device_batch(batch)
                     self.key, dkey = jax.random.split(self.key)
                     params, opt_state, backward, ce = step_fn(
-                        params, opt_state, feats, masks, labels_oh, smask,
+                        params, opt_state, feats, masks, labels, smask, aux,
                         class_w, lr_e, dkey,
                     )
                     global_step += 1
@@ -317,14 +399,24 @@ class FusionEngine:
 
             self.params = params
             dev = self.evaluate(val_ds, val_weights=val_w)
-            logger.info(
-                f"|VALIDATION| Epoch ({epoch+1}/{cfg.epochs}): "
-                f"eval_loss = {dev['loss']:.6f} eval f1 = {dev['macro_f1']:.6f}"
-            )
-            if dev["macro_f1"] > best["macro_f1"]:
+            if opt.task == "dim":
+                logger.info(
+                    f"|VALIDATION| Epoch ({epoch+1}/{cfg.epochs}): "
+                    f"eval_loss = {dev['loss']:.6f} ccc = {dev['ccc']}"
+                )
+                improved = dev["loss"] < best["dev_loss"]
+            else:
+                logger.info(
+                    f"|VALIDATION| Epoch ({epoch+1}/{cfg.epochs}): "
+                    f"eval_loss = {dev['loss']:.6f} eval f1 = {dev['macro_f1']:.6f}"
+                )
+                improved = dev["macro_f1"] > best["macro_f1"]
+            if improved:
                 logger.info(f"New best model at epoch {epoch+1}")
                 best = {
-                    "epoch": epoch, "macro_f1": dev["macro_f1"], "dev_loss": dev["loss"],
+                    "epoch": epoch,
+                    "macro_f1": dev.get("macro_f1", 0.0),
+                    "dev_loss": dev["loss"],
                 }
                 self.save_torch_checkpoint(
                     os.path.join(cfg.model_path, "multimodal_ser.pt")
@@ -339,10 +431,10 @@ class FusionEngine:
         accum = None
         n_micro = 0
 
-        def grad_step(params, feats, masks, labels_oh, smask, cw, dkey):
+        def grad_step(params, feats, masks, labels, smask, aux_y, cw, dkey):
             def loss_fn(p):
                 return self._loss_terms(
-                    p, (feats, masks, labels_oh, smask), dkey, cw, False
+                    p, (feats, masks, labels, smask, aux_y), dkey, cw, False
                 )
 
             (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -363,10 +455,10 @@ class FusionEngine:
             sig = self._sig(batch)
             if sig not in grad_jit:
                 grad_jit[sig] = jax.jit(grad_step)
-            feats, masks, labels_oh, smask = self._device_batch(batch)
+            feats, masks, labels, smask, aux = self._device_batch(batch)
             self.key, dkey = jax.random.split(self.key)
             grads, backward, ce = grad_jit[sig](
-                params, feats, masks, labels_oh, smask, class_w, dkey
+                params, feats, masks, labels, smask, aux, class_w, dkey
             )
             accum = grads if accum is None else add_jit(accum, grads)
             n_micro += 1
@@ -391,12 +483,13 @@ class FusionEngine:
         bs = ((bs + self.n_data - 1) // self.n_data) * self.n_data
         n = len(dataset)
         order = np.argsort(_lengths_for_sort(dataset), kind="stable")
-        logits_out = np.zeros((n, self.cfg.num_emotions), np.float32)
+        out_dim = 3 if self.opt.task == "dim" else self.cfg.num_emotions
+        logits_out = np.zeros((n, out_dim), np.float32)
         for start in range(0, n, bs):
             idxs = order[start : start + bs].tolist()
             batch = dataset.collate(idxs, bs, self.opt.bucket_quantum)
             step_fn = self._get_eval_step(self._sig(batch))
-            feats, masks, _, _ = self._device_batch(batch)
+            feats, masks, _, _, _ = self._device_batch(batch)
             logits = np.asarray(step_fn(self.params, feats, masks))
             logits_out[idxs] = logits[: len(idxs)]
         return logits_out
@@ -405,6 +498,12 @@ class FusionEngine:
         self, dataset: LazyFeatureDataset, val_weights: Optional[np.ndarray] = None
     ) -> Dict[str, float]:
         logits = self.predict(dataset)
+        if self.opt.task == "dim":
+            from ..utils.metrics import concordance_ccc
+
+            labels = np.asarray(dataset.labels, np.float32)
+            cccs = [concordance_ccc(logits[:, i], labels[:, i]) for i in range(3)]
+            return {"loss": 3.0 - sum(cccs), "ccc": cccs, "logits": logits}
         y = np.argmax(dataset.labels, axis=1)
         preds = np.argmax(logits, axis=1)
         f1 = macro_f1(y, preds, self.cfg.num_emotions)

@@ -1,0 +1,174 @@
+"""Information-encoder components: prosody reference encoder + timbre perturb.
+
+Ports reference src/information_encoder/utils.py:
+- ``ReferenceEncoderClassifier`` (L21-92): 6× Conv2d(3×3, stride 2) +
+  BatchNorm + ReLU over melspec → GRU → (optional tanh proj) → classifier,
+  used by the angular-prototypical speaker-style trainers.
+- timbre perturbation (L187-281): Praat 'Change gender' formant shifting.
+  This is a HOST-side CPU augmentation op (SURVEY.md §2.9). parselmouth is
+  not in this image, so the default implementation is a spectral-envelope
+  formant shift (STFT envelope warp, original phase) with the same
+  segmentation/sampling structure; when parselmouth IS importable the
+  exact Praat path is used instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.gru import gru_scan
+
+try:  # exact Praat path when available
+    import parselmouth  # type: ignore
+
+    _HAS_PRAAT = True
+except Exception:
+    _HAS_PRAAT = False
+
+
+class ReferenceEncoderClassifier(nn.Module):
+    """mel [B, T, num_mel] → class logits [B, num_classes]."""
+
+    num_mel: int
+    embedding_dim: int
+    num_classes: int
+    use_nonlinear_proj: bool = False
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B = mel.shape[0]
+        x = mel[:, :, :, None]  # NHWC: [B, T, num_mel, 1]
+        filters = [32, 32, 64, 64, 128, 128]
+        for i, f in enumerate(filters):
+            x = nn.Conv(
+                f, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], name=f"conv{i}"
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        # [B, T', H', 128] → [B, T', H'*128]
+        x = x.reshape(B, x.shape[1], -1)
+        H = self.embedding_dim
+        bound = 1.0 / (H ** 0.5)
+        u = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+        w_ih = self.param("gru_w_ih", u, (x.shape[-1], 3 * H))
+        w_hh = self.param("gru_w_hh", u, (H, 3 * H))
+        b_ih = self.param("gru_b_ih", u, (3 * H,))
+        b_hh = self.param("gru_b_hh", u, (3 * H,))
+        seq = gru_scan(x, jnp.zeros((B, H), jnp.float32), w_ih, w_hh, b_ih, b_hh)
+        out = seq[:, -1]  # final hidden state
+        if self.use_nonlinear_proj:
+            out = jnp.tanh(nn.Dense(H, name="proj")(out))
+            out = nn.Dropout(0.5)(out, deterministic=deterministic)
+        return nn.Dense(self.num_classes, name="classifier_layer")(out)
+
+
+# ---------------------------------------------------------------------------
+# Timbre perturbation (host-side augmentation)
+# ---------------------------------------------------------------------------
+
+
+def formant_shift_sampler(ratio: float, rng: Optional[np.random.Generator] = None) -> float:
+    """U(1, ratio), flipped to its inverse with p=0.5 (reference L187-197)."""
+    rng = rng or np.random.default_rng()
+    shift = rng.random() * (ratio - 1.0) + 1.0
+    if rng.random() < 0.5:
+        shift = shift ** -1
+    return float(shift)
+
+
+def _formant_shift_dsp(wav: np.ndarray, sr: int, shift: float) -> np.ndarray:
+    """Spectral-envelope warp: magnitude envelope resampled by ``shift``
+    along frequency, original phase kept (Praat-free approximation)."""
+    if len(wav) < 512 or abs(shift - 1.0) < 1e-3:
+        return wav.astype(np.float32)
+    from scipy.signal import stft as sp_stft, istft as sp_istft
+
+    f, t, Z = sp_stft(wav, fs=sr, nperseg=512, noverlap=384)
+    mag, phase = np.abs(Z), np.angle(Z)
+    n_bins = mag.shape[0]
+    src_bins = np.clip(np.arange(n_bins) / shift, 0, n_bins - 1)
+    lo = np.floor(src_bins).astype(int)
+    hi = np.minimum(lo + 1, n_bins - 1)
+    frac = (src_bins - lo)[:, None]
+    warped = mag[lo] * (1 - frac) + mag[hi] * frac
+    _, out = sp_istft(warped * np.exp(1j * phase), fs=sr, nperseg=512, noverlap=384)
+    out = out[: len(wav)]
+    if len(out) < len(wav):
+        out = np.pad(out, (0, len(wav) - len(out)))
+    return out.astype(np.float32)
+
+
+def timbre_perturb(
+    wav: np.ndarray,
+    sr: int,
+    formant_shift: float = 1.0,
+    pitch_steps: float = 0.01,
+    pitch_floor: float = 75,
+    pitch_ceil: float = 600,
+    fname: str = "null",
+) -> np.ndarray:
+    """Single-shift perturbation (reference L211-258)."""
+    if _HAS_PRAAT:  # exact Praat 'Change gender' path
+        snd = parselmouth.Sound(wav, sampling_frequency=sr)
+        try:
+            pitch = parselmouth.praat.call(snd, "To Pitch", pitch_steps, pitch_floor, pitch_ceil)
+        except Exception:
+            return snd.values[0]
+        ndpit = pitch.selected_array["frequency"]
+        nonzero = ndpit > 1e-5
+        if nonzero.sum() == 0:
+            return snd.values[0]
+        median = float(np.median(ndpit[nonzero]))
+        (out,) = parselmouth.praat.call(
+            (snd, pitch), "Change gender", formant_shift, median, 1.0, 1.0
+        ).values
+        return out
+    return _formant_shift_dsp(np.asarray(wav, np.float32), sr, formant_shift)
+
+
+def sliced_timbre_perturb(
+    wav: np.ndarray,
+    sr: int = 16000,
+    segment_size: int = 16000 // 2,
+    formant_rate: float = 1.4,
+    pitch_steps: float = 0.01,
+    pitch_floor: float = 75,
+    pitch_ceil: float = 600,
+    fname: str = "null",
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Per-segment random formant shifts (reference L199-209)."""
+    rng = rng or np.random.default_rng()
+    out = []
+    for i in range(len(wav) // segment_size + 1):
+        seg = wav[segment_size * i : segment_size * (i + 1)]
+        if len(seg) == 0:
+            continue
+        shift = formant_shift_sampler(formant_rate, rng)
+        out.append(timbre_perturb(seg, sr, shift, pitch_steps, pitch_floor, pitch_ceil, fname))
+    return np.concatenate(out) if out else np.asarray(wav)
+
+
+def fixed_timbre_perturb(
+    wav: np.ndarray,
+    sr: int = 16000,
+    segment_size: int = 16000 // 2,
+    formant_rate: float = 1.4,
+    pitch_steps: float = 0.01,
+    pitch_floor: float = 75,
+    pitch_ceil: float = 600,
+    fname: str = "null",
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """One sampled shift for the whole utterance (reference L260-281;
+    the WavSet augmentation, benchmark/utils/dataset/dataset.py:176-179)."""
+    shift = formant_shift_sampler(formant_rate, rng)
+    return timbre_perturb(wav, sr, shift, pitch_steps, pitch_floor, pitch_ceil, fname)

@@ -191,27 +191,48 @@ def diff_f1_loss(
     return 1.0 - jnp.mean(f1)
 
 
-def ccc_loss(pred: jnp.ndarray, lab: jnp.ndarray) -> jnp.ndarray:
+def ccc_loss(
+    pred: jnp.ndarray, lab: jnp.ndarray, sample_mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """Σ_attr (1 - CCC) over arousal/dominance/valence columns.
 
     Reference: benchmark/utils/loss_manager.py:51-75 computes per-attribute
-    CCC with population moments; training minimizes ``3 - ΣCCC``.
+    CCC with population moments; training minimizes ``3 - ΣCCC``. With a
+    sample mask, moments are computed over valid rows only (static-shape
+    padded batches).
     """
     pred = pred.astype(jnp.float32)
     lab = lab.astype(jnp.float32)
+    if sample_mask is None:
+        w = jnp.ones(pred.shape[0], jnp.float32)
+    else:
+        w = sample_mask.astype(jnp.float32)
+    wsum = jnp.maximum(w.sum(), 1e-12)
 
     def one(p, l):
-        m_p, m_l = jnp.mean(p), jnp.mean(l)
+        m_p = jnp.sum(p * w) / wsum
+        m_l = jnp.sum(l * w) / wsum
         d_p, d_l = p - m_p, l - m_l
-        cov = jnp.mean(d_p * d_l)
-        var_p = jnp.mean(d_p * d_p)
-        var_l = jnp.mean(d_l * d_l)
+        cov = jnp.sum(d_p * d_l * w) / wsum
+        var_p = jnp.sum(d_p * d_p * w) / wsum
+        var_l = jnp.sum(d_l * d_l * w) / wsum
         return 2 * cov / (var_p + var_l + (m_p - m_l) ** 2 + 1e-9)
 
     total = 0.0
     for i in range(pred.shape[1]):
         total = total + (1.0 - one(pred[:, i], lab[:, i]))
     return total
+
+
+def mse_emotion(
+    pred: jnp.ndarray, lab: jnp.ndarray, sample_mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Σ_attr MSE (reference benchmark/utils/loss_manager.py:77-82)."""
+    se = (pred.astype(jnp.float32) - lab.astype(jnp.float32)) ** 2
+    if sample_mask is None:
+        return jnp.sum(jnp.mean(se, axis=0))
+    w = sample_mask.astype(jnp.float32)[:, None]
+    return jnp.sum((se * w).sum(axis=0) / jnp.maximum(w.sum(), 1e-12))
 
 
 # ---------------------------------------------------------------------------
