@@ -30,6 +30,9 @@ def _parser(extract: bool = False, test: bool = False) -> argparse.ArgumentParse
     p = argparse.ArgumentParser()
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--config_path", type=str, default="./configs/config_cat.json")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the per-epoch full-state checkpoint "
+                        "(framework extension; the reference restarts from scratch)")
     if extract:
         p.add_argument("--train_df", type=str, default="./test/train_stacking_sample.csv")
     if test:
@@ -85,7 +88,7 @@ def train_main(
     engine = _engine(cfg, args.seed, ranking, trimodal, **engine_overrides)
     engine.init_params()
     logger.info("Starting training...")
-    best = engine.fit(train_df, val_df, log=logger)
+    best = engine.fit(train_df, val_df, log=logger, resume=getattr(args, 'resume', False))
     if engine_overrides.get("task") == "dim":
         logger.info(f"Best epoch {best['epoch']+1}: dev loss = {best['dev_loss']:.6f}")
     else:

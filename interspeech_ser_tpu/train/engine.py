@@ -310,6 +310,8 @@ class FusionEngine:
         train_df: pd.DataFrame,
         val_df: pd.DataFrame,
         log: Optional[logging.Logger] = None,
+        resume: bool = False,
+        stop_after_epoch: Optional[int] = None,
     ) -> Dict[str, float]:
         cfg = self.cfg
         logger = log or self.logger
@@ -366,8 +368,22 @@ class FusionEngine:
         best = {"epoch": -1, "macro_f1": 0.0, "dev_loss": float("inf")}
         params = self.params
         global_step = 0
+        start_epoch = 0
 
-        for epoch in range(cfg.epochs):
+        from . import checkpointing
+
+        if resume:
+            state = checkpointing.load_train_state(cfg.model_path, params, opt_state)
+            if state is not None:
+                params, opt_state, done_epoch, best, np_state, jax_key = state
+                params = replicate(self.mesh, params)
+                opt_state = replicate(self.mesh, opt_state)
+                self.rng.bit_generator.state = np_state
+                self.key = jnp.asarray(jax_key)
+                start_epoch = done_epoch + 1
+                logger.info(f"Resumed from epoch {done_epoch} (best: {best})")
+
+        for epoch in range(start_epoch, cfg.epochs):
             lr_e = cosine_epoch_lr(cfg.lr, epoch, cfg.epochs)
             batches = epoch_batches(
                 train_ds, cfg.batch_size, self.rng,
@@ -421,6 +437,12 @@ class FusionEngine:
                 self.save_torch_checkpoint(
                     os.path.join(cfg.model_path, "multimodal_ser.pt")
                 )
+            checkpointing.save_train_state(
+                cfg.model_path, params, opt_state, epoch, best, self.rng, self.key
+            )
+            if stop_after_epoch is not None and epoch >= stop_after_epoch:
+                logger.info(f"Stopping after epoch {epoch} (stop_after_epoch)")
+                break
         return best
 
     def _fit_epoch_accum(
