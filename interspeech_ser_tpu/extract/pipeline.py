@@ -71,6 +71,15 @@ class SpeechExtractionPipeline:
         replicate_dir_count_bug: bool = False,
     ):
         self.model = model
+        # bf16 mode: pre-cast the frozen params once (saves the per-step
+        # f32→bf16 weight casts; norms still compute in f32 on bf16 inputs)
+        if config.compute_dtype == jnp.bfloat16:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == np.float32 or getattr(x, "dtype", None) == jnp.float32
+                else x,
+                params,
+            )
         self.params = params
         self.config = config
         self.n_layer = n_layer

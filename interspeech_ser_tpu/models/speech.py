@@ -243,11 +243,12 @@ class SpeechSelfAttention(nn.Module):
                 position_bias = rel_embed[buckets].transpose(2, 0, 1)  # [H, T, T]
             assert position_bias is not None, "layers >0 need layer-0 position_bias"
             # gated bias: per-(batch, head, query) gate from the hidden state
+            # (computed in the compute dtype; f32 mode stays exact)
             gate_in = x.reshape(B, T, H, hd).transpose(0, 2, 1, 3)  # [B,H,T,hd]
             proj = nn.Dense(
-                8, dtype=jnp.float32, param_dtype=jnp.float32, name="gru_rel_pos_linear"
-            )(gate_in.astype(jnp.float32))
-            proj = proj.reshape(B, H, T, 2, 4).sum(-1)  # [B,H,T,2]
+                8, dtype=dt, param_dtype=jnp.float32, name="gru_rel_pos_linear"
+            )(gate_in)
+            proj = proj.astype(jnp.float32).reshape(B, H, T, 2, 4).sum(-1)  # [B,H,T,2]
             gates = jax.nn.sigmoid(proj)
             gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # [B,H,T,1]
             const = self.param(

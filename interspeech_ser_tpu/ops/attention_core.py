@@ -60,19 +60,25 @@ def dot_product_attention(
         )
 
     dtype = q.dtype
+    # bf16 mode keeps the score/bias chain in bf16 (softmax still f32):
+    # measured on v5e this is the difference between bf16 being 16% SLOWER
+    # than f32 (f32 [B,H,T,T] bias materialization breaks fusion) and 30%
+    # faster (204 vs 156 utt/s WavLM-large extraction). f32 mode is
+    # untouched — bit-parity path.
+    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=acc_t
     )
     if shared_bias is not None:
-        b = shared_bias[None].astype(jnp.float32)
+        b = shared_bias[None].astype(acc_t)
         if gate is not None:
-            b = gate[:, :, :, None].astype(jnp.float32) * b
+            b = gate[:, :, :, None].astype(acc_t) * b
         scores = scores + b
     elif bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+        scores = scores + bias.astype(acc_t)
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, :].astype(bool), scores, NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(
         dtype
     )
