@@ -124,3 +124,16 @@ class LogManager:
         line = " ".join(parts)
         print(line)
         return line
+
+
+def calc_err(pred_logits, labels) -> float:
+    """Error rate from logits (reference benchmark/utils/loss_manager.py:94-103)."""
+    pred = np.asarray(pred_logits)
+    lab = np.asarray(labels)
+    ans = np.argmax(pred, axis=1)
+    return float((len(lab) - (ans == lab).sum()) / len(lab))
+
+
+def calc_acc(pred_logits, labels) -> float:
+    """Accuracy from logits (loss_manager.py:105-107)."""
+    return 1.0 - calc_err(pred_logits, labels)
