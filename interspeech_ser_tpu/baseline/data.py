@@ -66,6 +66,7 @@ class WavDataset:
         max_dur: int = 12,
         sr: int = 16000,
         normalize_wav: bool = True,
+        processor_fn=None,
     ):
         self.wav_list = list(wav_list)
         self.labels = labels
@@ -75,6 +76,9 @@ class WavDataset:
             min(max(len(w) for w in self.wav_list), max_dur * sr)
         )
         self.normalize_wav = normalize_wav
+        # optional feature-extractor hook (reference WavSet whisper/w2v2
+        # processor variants, dataset.py:185-200), e.g. ops.mel.whisper_log_mel
+        self.processor_fn = processor_fn
         if wav_mean is None or wav_std is None:
             wav_mean, wav_std = get_norm_stat_for_wav(self.wav_list)
         self.wav_mean = float(wav_mean)
@@ -87,7 +91,10 @@ class WavDataset:
         w = self.wav_list[idx][: self.max_dur]
         if self.normalize_wav:
             w = (w - self.wav_mean) / (self.wav_std + 1e-6)
-        return w.astype(np.float32), len(w)
+        w = w.astype(np.float32)
+        if self.processor_fn is not None:
+            return np.asarray(self.processor_fn(w)), len(w)
+        return w, len(w)
 
     def save_norm_stat(self, path: str) -> None:
         save_norm_stat(path, self.wav_mean, self.wav_std)
@@ -148,3 +155,39 @@ def epoch_batches(
             chunks.append(chunk[np.argsort(lengths[chunk], kind="stable")])
         order = np.concatenate(chunks) if chunks else order
     return [list(order[i : i + batch_size]) for i in range(0, n, batch_size)]
+
+
+class TxtDataset:
+    """Tokenized transcripts (reference TxtSet, dataset.py:122-141)."""
+
+    def __init__(self, texts: Sequence[str], tokenize, max_length: int = 80):
+        self.texts = [t if isinstance(t, str) else "" for t in texts]
+        self.tokenize = tokenize
+        self.max_length = max_length
+
+    def __len__(self) -> int:
+        return len(self.texts)
+
+    def get(self, idx: int):
+        toks = self.tokenize([self.texts[idx]])
+        return np.asarray(toks["input_ids"])[0], np.asarray(toks["attention_mask"])[0]
+
+
+def collate_txt_wav(
+    wav_dataset: WavDataset,
+    txt_dataset: TxtDataset,
+    indices: Sequence[int],
+    batch_size: int,
+    quantum: int = 16000,
+):
+    """Joint text+wav collate (reference collate_fn_txt_wav_lab_mask,
+    collate_fn.py:5-36) → (WavBatch, text_ids [B, L], text_mask [B, L])."""
+    wav_batch = collate_wav(wav_dataset, indices, batch_size, quantum)
+    items = [txt_dataset.get(i) for i in indices]
+    L = max(len(ids) for ids, _ in items)
+    ids = np.zeros((batch_size, L), np.int64)
+    mask = np.zeros((batch_size, L), np.int64)
+    for row, (tid, tm) in enumerate(items):
+        ids[row, : len(tid)] = tid
+        mask[row, : len(tm)] = tm
+    return wav_batch, ids, mask

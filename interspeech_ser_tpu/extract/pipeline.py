@@ -69,7 +69,12 @@ class SpeechExtractionPipeline:
         bucket_quantum: int = 16000,  # 1 s
         num_workers: int = 8,
         replicate_dir_count_bug: bool = False,
+        n_devices: Optional[int] = None,
     ):
+        from ..parallel.mesh import make_mesh
+
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.model = model
         # bf16 mode: pre-cast the frozen params once (saves the per-step
         # f32→bf16 weight casts; norms still compute in f32 on bf16 inputs)
@@ -80,7 +85,9 @@ class SpeechExtractionPipeline:
                 else x,
                 params,
             )
-        self.params = params
+        from ..parallel.mesh import replicate as _replicate
+
+        self.params = _replicate(self.mesh, params)
         self.config = config
         self.n_layer = n_layer
         self.use_average = use_average
@@ -141,7 +148,8 @@ class SpeechExtractionPipeline:
         ok = [(n, w) for n, w in zip(wav_names, waves) if w is not None]
         stats.n_failed = len(wav_names) - len(ok)
 
-        # length-sorted token-budget batching at bucketed lengths
+        # length-sorted token-budget batching at bucketed lengths; batch
+        # rows padded to a multiple of the mesh data axis for sharding
         ok.sort(key=lambda kv: len(kv[1]))
         batches: List[List[Tuple[str, np.ndarray]]] = []
         cur: List[Tuple[str, np.ndarray]] = []
@@ -156,16 +164,19 @@ class SpeechExtractionPipeline:
 
         writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
         pending = []
+        from ..parallel.mesh import shard_batch
+
         for batch in batches:
             T = _bucket(max(len(w) for _, w in batch), self.bucket_quantum, self.bucket_quantum)
-            B = len(batch)
+            B = ((len(batch) + self.n_data - 1) // self.n_data) * self.n_data
             wav = np.zeros((B, T), np.float32)
             mask = np.zeros((B, T), np.float32)
             for i, (_, w) in enumerate(batch):
                 wav[i, : len(w)] = w
                 mask[i, : len(w)] = 1.0
             fwd = self._forward((B, T), n_layer)
-            feats, frame_mask = fwd(self.params, jnp.asarray(wav), jnp.asarray(mask))
+            wav_d, mask_d = shard_batch(self.mesh, (jnp.asarray(wav), jnp.asarray(mask)))
+            feats, frame_mask = fwd(self.params, wav_d, mask_d)
             feats = np.asarray(feats)
             lengths = np.asarray(frame_mask).sum(axis=1).astype(int)
             for i, (name, w) in enumerate(batch):
@@ -202,13 +213,21 @@ class WhisperExtractionPipeline:
         use_average: bool = False,
         batch_size: int = 8,
         num_workers: int = 8,
+        n_devices: Optional[int] = None,
     ):
+        from ..parallel.mesh import make_mesh, replicate as _replicate
+
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.model = model
-        self.params = params
+        if config.compute_dtype == jnp.bfloat16:
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        self.params = _replicate(self.mesh, params)
         self.config = config
         self.n_layer = n_layer
         self.use_average = use_average
-        self.batch_size = batch_size
+        # batch rows padded to a multiple of the mesh data axis
+        self.batch_size = ((batch_size + self.n_data - 1) // self.n_data) * self.n_data
         self.num_workers = num_workers
         self._fwd = None
 
@@ -262,7 +281,10 @@ class WhisperExtractionPipeline:
             wav = np.zeros((self.batch_size, self.N_SAMPLES), np.float32)
             for i, (_, w) in enumerate(chunk):
                 wav[i, : min(len(w), self.N_SAMPLES)] = w[: self.N_SAMPLES]
-            feats = np.asarray(fwd(self.params, jnp.asarray(wav)))
+            from ..parallel.mesh import shard_batch
+
+            (wav_d,) = shard_batch(self.mesh, (jnp.asarray(wav),))
+            feats = np.asarray(fwd(self.params, wav_d))
             for i, (name, w) in enumerate(chunk):
                 n_frames = math.ceil(len(w) / 320)  # preprocess_whisper.py:50
                 stem = os.path.splitext(os.path.basename(name))[0]

@@ -245,6 +245,8 @@ def _ns3_parser():
     p.add_argument("--decoder_ckpt", type=str,
                    default="./pretrained_models/ns3/ns3_facodec_decoder_v2.bin")
     p.add_argument("--batch_size", type=int, default=16)
+    # legacy …_prosodycodes variant: save VQ code indices instead of embeddings
+    p.add_argument("--codes", action="store_true")
     return p
 
 
@@ -318,10 +320,16 @@ def ns3_prosody_main(speaker: bool = False, argv=None):
             fmask[i, : len(w) // 200] = 1
         sig = wav.shape
         if sig not in fwd_cache:
-            fwd_cache[sig] = jax.jit(extractor.extract_batched)
-        feats = np.asarray(
-            fwd_cache[sig](jnp.asarray(wav), jnp.asarray(refl), jnp.asarray(fmask))
-        )
+            if args.codes:
+                fwd_cache[sig] = jax.jit(extractor.codes)
+            else:
+                fwd_cache[sig] = jax.jit(extractor.extract_batched)
+        if args.codes:
+            feats = np.asarray(fwd_cache[sig](jnp.asarray(wav)))
+        else:
+            feats = np.asarray(
+                fwd_cache[sig](jnp.asarray(wav), jnp.asarray(refl), jnp.asarray(fmask))
+            )
         for i, (name, w) in enumerate(chunk):
             stem = os.path.splitext(os.path.basename(name))[0]
             out = os.path.join(args.save_path, f"{stem}.pt")
