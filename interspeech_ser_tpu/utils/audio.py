@@ -18,7 +18,19 @@ import numpy as np
 
 
 def load_wav(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
-    """Decode a PCM WAV to mono float32 in [-1, 1] at ``target_sr``."""
+    """Decode a PCM WAV to mono float32 in [-1, 1] at ``target_sr``.
+
+    Uses the native C++ loader (native/ser_audio.cpp, built via
+    ``make -C native``) when present; this python path is the fallback
+    and the parity reference. ``SER_TPU_NATIVE=0`` forces python.
+    """
+    from . import native_audio
+
+    if native_audio.available():
+        res = native_audio.load_wav_native(path, target_sr)
+        if res is not None:
+            return res[0], target_sr
+
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n_ch = w.getnchannels()
