@@ -44,10 +44,14 @@ class _ModalityEncoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(
+        self, feats: jnp.ndarray, mask: Optional[jnp.ndarray], use_gru_kernel: bool = False
+    ) -> jnp.ndarray:
         h = nn.Dense(self.fusion_hidden_dim, param_dtype=self.param_dtype, name="projection")(feats)
         h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, name="norm")(h)
-        return BiGRU(self.fusion_hidden_dim, param_dtype=self.param_dtype, name="gru")(h, mask)
+        return BiGRU(self.fusion_hidden_dim, param_dtype=self.param_dtype, name="gru")(
+            h, mask, use_kernel=use_gru_kernel
+        )
 
 
 class MultiModalEmotionClassifier(nn.Module):
@@ -80,6 +84,7 @@ class MultiModalEmotionClassifier(nn.Module):
         masks: Optional[Sequence[jnp.ndarray]] = None,  # list of [B, T_m]
         deterministic: bool = True,
         output_dict: bool = False,
+        use_gru_kernel: bool = False,  # fused Pallas GRU (inference path)
     ):
         n_mod = len(self.feat_dims)
         assert len(feats) == n_mod and n_mod in (2, 3)
@@ -92,7 +97,9 @@ class MultiModalEmotionClassifier(nn.Module):
         hidden = []
         for name, x, m in zip(names, feats, masks):
             hidden.append(
-                _ModalityEncoder(H, self.param_dtype, name=f"{name}_encoder")(x, m)
+                _ModalityEncoder(H, self.param_dtype, name=f"{name}_encoder")(
+                    x, m, use_gru_kernel
+                )
             )
 
         # Cross-modal attention: module per query modality, applied (with tied

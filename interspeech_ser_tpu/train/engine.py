@@ -164,13 +164,18 @@ class FusionEngine:
             self.init_params()
         host = jax.tree.map(np.asarray, self.params)
 
-        def merge(base, new):
+        def merge(base, new, prefix=""):
             for k, v in new.items():
                 if isinstance(v, dict):
-                    merge(base[k], v)
+                    merge(base[k], v, f"{prefix}{k}.")
                 else:
-                    if base[k].shape != v.shape and strict:
-                        raise ValueError(f"shape mismatch for {k}")
+                    if base[k].shape != v.shape:
+                        # torch raises on size mismatch even with
+                        # strict=False (load_state_dict semantics)
+                        raise ValueError(
+                            f"size mismatch for {prefix}{k}: checkpoint "
+                            f"{v.shape} vs model {base[k].shape}"
+                        )
                     base[k] = v.astype(base[k].dtype)
 
         merge(host, loaded)
@@ -197,7 +202,8 @@ class FusionEngine:
 
     # -- jitted steps --------------------------------------------------------
 
-    def _apply_model(self, params, feats, masks, deterministic, dropout_key):
+    def _apply_model(self, params, feats, masks, deterministic, dropout_key,
+                     use_gru_kernel=False):
         rngs = None if deterministic else {"dropout": dropout_key}
         if self.opt.model_variant == "moe":
             logits = self.model.apply(
@@ -209,6 +215,7 @@ class FusionEngine:
         return self.model.apply(
             {"params": params}, feats, masks=masks,
             deterministic=deterministic, output_dict=True, rngs=rngs,
+            use_gru_kernel=use_gru_kernel,
         )
 
     def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
@@ -286,8 +293,14 @@ class FusionEngine:
         if shape_sig in self._eval_step_cache:
             return self._eval_step_cache[shape_sig]
 
+        # fused Pallas GRU on the inference path (TPU only; the scan path
+        # remains the training/autodiff route)
+        use_gru_kernel = jax.default_backend() == "tpu"
+
         def step(params, feats, masks):
-            return self._apply_model(params, feats, masks, True, None)["logits"]
+            return self._apply_model(
+                params, feats, masks, True, None, use_gru_kernel=use_gru_kernel
+            )["logits"]
 
         fn = jax.jit(step)
         self._eval_step_cache[shape_sig] = fn

@@ -1,0 +1,65 @@
+"""Pallas GRU sequence kernel vs the lax.scan reference (interpret mode)."""
+
+import os
+import sys
+
+import numpy as np
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from interspeech_ser_tpu.ops.gru import gru_scan
+from interspeech_ser_tpu.ops.pallas.gru_kernel import gru_sequence
+
+RNG = np.random.default_rng(19)
+
+
+def _setup(B=4, T=23, I=12, H=8):
+    x = jnp.asarray(RNG.normal(size=(B, T, I)).astype(np.float32))
+    w_ih = jnp.asarray(RNG.normal(size=(I, 3 * H)).astype(np.float32) * 0.3)
+    w_hh = jnp.asarray(RNG.normal(size=(H, 3 * H)).astype(np.float32) * 0.3)
+    b_ih = jnp.asarray(RNG.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+    b_hh = jnp.asarray(RNG.normal(size=(3 * H,)).astype(np.float32) * 0.1)
+    x_proj = jnp.einsum("bti,ih->bth", x, w_ih) + b_ih
+    return x, x_proj, w_ih, w_hh, b_ih, b_hh, B, H
+
+
+class TestGRUKernel:
+    def test_matches_scan_forward(self):
+        x, x_proj, w_ih, w_hh, b_ih, b_hh, B, H = _setup()
+        ref = gru_scan(x, jnp.zeros((B, H)), w_ih, w_hh, b_ih, b_hh)
+        ours = gru_sequence(x_proj, w_hh, b_hh, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_matches_scan_reverse_masked(self):
+        x, x_proj, w_ih, w_hh, b_ih, b_hh, B, H = _setup(T=17)
+        mask = np.zeros((B, 17), np.float32)
+        for i, l in enumerate((17, 11, 5, 9)):
+            mask[i, :l] = 1
+        ref = gru_scan(
+            x, jnp.zeros((B, H)), w_ih, w_hh, b_ih, b_hh,
+            mask=jnp.asarray(mask), reverse=True,
+        )
+        ours = gru_sequence(
+            x_proj, w_hh, b_hh, mask=jnp.asarray(mask), reverse=True, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+class TestBiGRUFusedKernel:
+    def test_bigru_use_kernel_matches_scan(self):
+        import jax
+
+        from interspeech_ser_tpu.ops.gru import BiGRU
+
+        B, T, I, H = 3, 19, 10, 8
+        x = jnp.asarray(RNG.normal(size=(B, T, I)).astype(np.float32))
+        mask = np.zeros((B, T), np.float32)
+        for i, l in enumerate((19, 12, 7)):
+            mask[i, :l] = 1
+        model = BiGRU(hidden_dim=H)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        ref = model.apply({"params": params}, x, jnp.asarray(mask))
+        ours = model.apply({"params": params}, x, jnp.asarray(mask), use_kernel=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
