@@ -23,6 +23,10 @@ def _speech_parser():
     p.add_argument("--use_average", type=str, default="n")
     # framework extensions
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--matmul_precision", type=str, default="default",
+                   choices=["default", "high", "highest"],
+                   help="'highest' = strict f32 matmuls for bit-level parity "
+                        "audits (slower; TPU default runs f32 via bf16 passes)")
     p.add_argument("--replicate_dir_count_bug", action="store_true",
                    help="bit-exact reproduction of the reference's "
                         "hidden_states[len(os.listdir(save_path))] quirk")
@@ -42,8 +46,16 @@ def _audit_wavs(wav_dir: str):
     return wav_names
 
 
+def _set_precision(args):
+    if getattr(args, "matmul_precision", "default") != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+
 def speech_main(argv=None):
     args = _speech_parser().parse_args(argv)
+    _set_precision(args)
     average = args.use_average == "y"
     print(f"Using average = {average}")
 
@@ -74,6 +86,7 @@ def speech_main(argv=None):
 
 def whisper_main(argv=None):
     args = _speech_parser().parse_args(argv)
+    _set_precision(args)
     average = args.use_average == "y"
     print(f"Using average = {average}")
     wav_names = _audit_wavs(args.wav_dir)
