@@ -111,7 +111,16 @@ class FusionEngine:
         self.mesh = make_mesh(self.opt.n_devices)
         self.n_data = self.mesh.shape["data"]
         num_out = 3 if self.opt.task == "dim" else cfg.num_emotions
-        if self.opt.model_variant == "moe":
+        if self.opt.model_variant == "single":
+            # wavlm-only lazy classifier (bin/old/train_cat_wavlm_lazy.py)
+            from ..models.fusion_variants import SingleModalitySERClassifier
+
+            self.model = SingleModalitySERClassifier(
+                feat_dim=cfg.feat1_dim,
+                hidden_dim=cfg.fusion_hidden_dim,
+                num_categories=num_out,
+            )
+        elif self.opt.model_variant == "moe":
             from ..models.fusion_variants import MoEEmotionClassifier
 
             self.model = MoEEmotionClassifier(
@@ -141,12 +150,18 @@ class FusionEngine:
     # -- params ------------------------------------------------------------
 
     def init_params(self):
-        feats = [
-            jnp.zeros((2, 8, d), jnp.float32) for d in self.cfg.feat_dims
-        ]
-        masks = [jnp.ones((2, 8), jnp.float32) for _ in self.cfg.feat_dims]
         self.key, init_key = jax.random.split(self.key)
-        variables = self.model.init(init_key, feats, masks=masks, deterministic=True)
+        if self.opt.model_variant == "single":
+            variables = self.model.init(
+                init_key, jnp.zeros((2, 64, self.cfg.feat1_dim), jnp.float32),
+                jnp.ones((2, 64), jnp.float32), deterministic=True,
+            )
+        else:
+            feats = [jnp.zeros((2, 8, d), jnp.float32) for d in self.cfg.feat_dims]
+            masks = [jnp.ones((2, 8), jnp.float32) for _ in self.cfg.feat_dims]
+            variables = self.model.init(
+                init_key, feats, masks=masks, deterministic=True
+            )
         self.params = replicate(self.mesh, variables["params"])
         return self.params
 
@@ -205,6 +220,13 @@ class FusionEngine:
     def _apply_model(self, params, feats, masks, deterministic, dropout_key,
                      use_gru_kernel=False):
         rngs = None if deterministic else {"dropout": dropout_key}
+        if self.opt.model_variant == "single":
+            logits = self.model.apply(
+                {"params": params}, feats[0], masks[0] if masks else None,
+                deterministic=deterministic, rngs=rngs,
+            )
+            return {"logits": logits, "neutral": None, "gender": None,
+                    "pooled": None, "fused": None}
         if self.opt.model_variant == "moe":
             logits = self.model.apply(
                 {"params": params}, feats, masks=masks,
@@ -332,17 +354,20 @@ class FusionEngine:
         os.makedirs(cfg.model_path, exist_ok=True)
 
         label_cols = ["EmoAct", "EmoDom", "EmoVal"] if opt.task == "dim" else L.CLASSES
+        lazy_dirs, feat_dims = cfg.lazy_dirs, cfg.feat_dims
+        if opt.model_variant == "single":
+            lazy_dirs, feat_dims = (cfg.lazy_dir1,), (cfg.feat1_dim,)
         aux_cols = None
         if opt.gender_mode is not None:
             # gender targets from the merged label frame (…_grlgender.py:143-149)
             aux_cols = train_df["target_gender"].values.astype(np.int64)
         train_ds = LazyFeatureDataset(
             train_df["FileName"].tolist(), train_df[label_cols].values,
-            cfg.lazy_dirs, cfg.feat_dims, aux_labels=aux_cols,
+            lazy_dirs, feat_dims, aux_labels=aux_cols,
         )
         val_ds = LazyFeatureDataset(
             val_df["FileName"].tolist(), val_df[label_cols].values,
-            cfg.lazy_dirs, cfg.feat_dims,
+            lazy_dirs, feat_dims,
         )
 
         if opt.task == "dim":

@@ -170,3 +170,28 @@ class TestSingleModality:
         out = model.apply({"params": params}, x)
         assert out.shape == (2, 8)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestSingleModalityVariant:
+    def test_single_variant_trains(self, variant_fixture):
+        # the maxpool-32 single-modality head needs a few more epochs on
+        # the tiny fixture (verified: reaches ~0.6 F1 at epochs=6, lr=1e-2)
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils import labels as L
+        from interspeech_ser_tpu.utils.config import load_fusion_config
+
+        root = variant_fixture
+        raw = json.load(open(root / "config.json"))
+        raw.update({"model_path": str(root / "single"), "epochs": 6, "lr": 1e-2,
+                    "fusion_hidden_dim": 16})
+        p = root / "single.json"
+        p.write_text(json.dumps(raw))
+        cfg = load_fusion_config(str(p))
+        df = L.load_merged(cfg.label_path, cfg.txt_dir)
+        engine = FusionEngine(
+            cfg, seed=7,
+            options=EngineOptions(bucket_window=2, model_variant="single"),
+        )
+        engine.init_params()
+        best = engine.fit(df[df.Split_Set == "Train"], df[df.Split_Set == "Development"])
+        assert best["macro_f1"] > 0.3
