@@ -42,6 +42,25 @@ def _bucket(n: int, quantum: int, minimum: int) -> int:
     return max(minimum, ((n + quantum - 1) // quantum) * quantum)
 
 
+def _shard_encoder_params(mesh, params):
+    """Megatron FFN sharding: intermediate kernel column-parallel, output
+    kernel row-parallel; everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec(path, x):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "intermediate_dense" in names and names[-1] == "kernel":
+            return P(None, "model")
+        if "output_dense" in names and names[-1] == "kernel":
+            return P("model", None)
+        return P()
+
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec(p, x)), params
+    )
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
+
+
 @dataclass
 class ExtractionStats:
     n_utts: int = 0
@@ -70,11 +89,16 @@ class SpeechExtractionPipeline:
         num_workers: int = 8,
         replicate_dir_count_bug: bool = False,
         n_devices: Optional[int] = None,
+        model_parallel: int = 1,
     ):
         from ..parallel.mesh import make_mesh
 
-        self.mesh = make_mesh(n_devices)
+        # model_parallel > 1: megatron-style FFN sharding over a 'model'
+        # axis for encoders whose f32 params exceed per-chip HBM
+        # (w2v2-XLS-R-2B; SURVEY.md §2.9)
+        self.mesh = make_mesh(n_devices, model_parallel=model_parallel)
         self.n_data = self.mesh.shape["data"]
+        self.model_parallel = model_parallel
         self.model = model
         # bf16 mode: pre-cast the frozen params once (saves the per-step
         # f32→bf16 weight casts; norms still compute in f32 on bf16 inputs)
@@ -87,7 +111,10 @@ class SpeechExtractionPipeline:
             )
         from ..parallel.mesh import replicate as _replicate
 
-        self.params = _replicate(self.mesh, params)
+        if model_parallel > 1:
+            self.params = _shard_encoder_params(self.mesh, params)
+        else:
+            self.params = _replicate(self.mesh, params)
         self.config = config
         self.n_layer = n_layer
         self.use_average = use_average

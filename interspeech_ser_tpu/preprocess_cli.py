@@ -30,6 +30,9 @@ def _speech_parser():
     p.add_argument("--replicate_dir_count_bug", action="store_true",
                    help="bit-exact reproduction of the reference's "
                         "hidden_states[len(os.listdir(save_path))] quirk")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="megatron FFN sharding over a 'model' mesh axis "
+                        "(for XLS-R-2B-scale encoders)")
     return p
 
 
@@ -74,6 +77,7 @@ def speech_main(argv=None):
         n_layer=args.n_layer, use_average=average, do_normalize=do_normalize,
         num_workers=args.num_workers,
         replicate_dir_count_bug=args.replicate_dir_count_bug,
+        model_parallel=args.model_parallel,
     )
     stats = pipe.run(args.wav_dir, args.save_path, wav_names)
     print(

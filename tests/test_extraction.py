@@ -201,3 +201,30 @@ class TestTextExtractionPipeline:
         for n in names:
             arr = torch.load(os.path.join(save, n.replace(".wav", ".pt")), weights_only=True)
             assert arr.shape == (max_len, 32)  # FULL padded length saved
+
+
+class TestTensorParallelExtraction:
+    def test_tp_matches_dp(self, wav_dir, hf_wavlm_dir, tmp_path):
+        """model_parallel=2 extraction == data-parallel extraction."""
+        from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+        from interspeech_ser_tpu.models.convert_hf import speech_hf_to_flax
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        model_dir, hf_model = hf_wavlm_dir
+        from transformers import AutoConfig
+
+        cfg = SpeechConfig.from_hf(AutoConfig.from_pretrained(model_dir))
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        save_dp = str(tmp_path / "dp")
+        save_tp = str(tmp_path / "tp")
+        SpeechExtractionPipeline(model, params, cfg).run(wav_dir, save_dp)
+        SpeechExtractionPipeline(model, params, cfg, model_parallel=2).run(
+            wav_dir, save_tp
+        )
+        for f in sorted(os.listdir(save_dp)):
+            a = torch.load(os.path.join(save_dp, f), weights_only=True).numpy()
+            b = torch.load(os.path.join(save_tp, f), weights_only=True).numpy()
+            np.testing.assert_allclose(a, b, atol=2e-4)
