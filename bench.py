@@ -74,24 +74,63 @@ def measure(dtype: str, n_chain: int = 10) -> float:
     return BATCH * n_chain / total
 
 
+def measure_e2e(n_utts: int = 64) -> float:
+    """Full pipeline (decode → bucketed batches → device → .pt writes)
+    on synthetic 8-12 s wavs, random WavLM-large weights, bf16."""
+    import tempfile
+    import wave as wave_mod
+
+    from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+    from interspeech_ser_tpu.models.speech import SpeechEncoderModel as M
+
+    rng = np.random.default_rng(1)
+    tmp = tempfile.mkdtemp(prefix="bench_wavs_")
+    for i in range(n_utts):
+        # 9.1-10 s: all utterances land in one 10-s bucket → one compile
+        n = int(16000 * (9.1 + 0.9 * rng.random()))
+        pcm = (np.clip(rng.normal(size=n) * 0.1, -1, 1) * 32767).astype("<i2")
+        with wave_mod.open(f"{tmp}/u{i:03d}.wav", "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+
+    cfg = wavlm_large(dtype="bfloat16")
+    model = M(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16000), jnp.float32),
+        jnp.ones((1, 16000), jnp.float32),
+    )["params"]
+    out = tempfile.mkdtemp(prefix="bench_feats_")
+    pipe = SpeechExtractionPipeline(model, params, cfg)
+    pipe.run(tmp, out)  # warm (compile per bucket)
+    stats = pipe.run(tmp, tempfile.mkdtemp(prefix="bench_feats2_"))
+    return stats.utts_per_sec
+
+
 def main():
+    import os
+
     f32 = measure("float32")
     bf16 = measure("bfloat16")
     value = max(f32, bf16)
-    print(
-        json.dumps(
-            {
-                "metric": "wavlm_large_extraction_utt_per_sec",
-                "value": round(value, 2),
-                "unit": "utt/s/chip (10-s utterances)",
-                "vs_baseline": round(value / BASELINE_A100_UTT_PER_SEC, 3),
-                "f32_utt_per_sec": round(f32, 2),
-                "bf16_utt_per_sec": round(bf16, 2),
-                "device": str(jax.devices()[0]),
-                "note": "baseline=50 utt/s favorable A100 batch-1 estimate; target >=5x",
-            }
-        )
-    )
+    result = {
+        "metric": "wavlm_large_extraction_utt_per_sec",
+        "value": round(value, 2),
+        "unit": "utt/s/chip (10-s utterances)",
+        "vs_baseline": round(value / BASELINE_A100_UTT_PER_SEC, 3),
+        "f32_utt_per_sec": round(f32, 2),
+        "bf16_utt_per_sec": round(bf16, 2),
+        "device": str(jax.devices()[0]),
+        "note": "baseline=50 utt/s favorable A100 batch-1 estimate; target >=5x",
+    }
+    # Full-pipeline e2e (decode+batch+device+save) is gated behind an env
+    # flag: over this image's tunneled TPU the D2H hop rides the network
+    # and the number is dominated by tunnel variance (measured 3-8 utt/s
+    # across runs for the same code) — meaningless for a co-located TPU VM.
+    if os.environ.get("SER_TPU_BENCH_E2E") == "1":
+        result["e2e_pipeline_utt_per_sec"] = round(measure_e2e(), 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -132,6 +132,11 @@ class SpeechExtractionPipeline:
         if key in self._fwd_cache:
             return self._fwd_cache[key]
 
+        # D2H in the COMPUTE dtype: in bf16 mode the hidden states carry
+        # bf16 precision anyway, so transferring f32 doubles bytes for no
+        # information; the host casts to f32 for the .pt contract.
+        out_dtype = self.config.compute_dtype
+
         def fwd(params, wav, mask):
             out = self.model.apply({"params": params}, wav, mask)
             hs = out["hidden_states"]
@@ -140,7 +145,7 @@ class SpeechExtractionPipeline:
                 sel = (hs[-4] + hs[-3] + hs[-2] + hs[-1]) / 4.0
             else:
                 sel = hs[n_layer]
-            return sel.astype(jnp.float32), out["frame_mask"]
+            return sel.astype(out_dtype), out["frame_mask"]
 
         fn = jax.jit(fwd)
         self._fwd_cache[key] = fn
@@ -204,7 +209,8 @@ class SpeechExtractionPipeline:
             fwd = self._forward((B, T), n_layer)
             wav_d, mask_d = shard_batch(self.mesh, (jnp.asarray(wav), jnp.asarray(mask)))
             feats, frame_mask = fwd(self.params, wav_d, mask_d)
-            feats = np.asarray(feats)
+            # bf16 crosses the wire (ml_dtypes view), f32 cast on host
+            feats = np.asarray(jax.device_get(feats)).astype(np.float32, copy=False)
             lengths = np.asarray(frame_mask).sum(axis=1).astype(int)
             for i, (name, w) in enumerate(batch):
                 stem = os.path.splitext(os.path.basename(name))[0]

@@ -1,9 +1,14 @@
 """Shared scaled-dot-product attention core for the encoder zoo.
 
-Single swap point between the XLA einsum path (short sequences; fully
-fused) and the Pallas flash-attention kernel (long sequences / biased
-attention: the score tensor — and for WavLM the gated position bias —
-never materializes in HBM).
+Single swap point between the XLA einsum path and the Pallas
+flash-attention kernel. Measured on v5e, XLA's fused attention wins at
+every encoder-zoo shape (0.82 vs 1.82 ms at WavLM B16/H16/T512/D64;
+5.65 vs 8.32 ms at Whisper B8/H20/T1504) — XLA keeps the score tile
+register-resident and D=64 half-fills the MXU either way — so XLA is the
+default and the kernel is opt-in (SER_TPU_FORCE_FLASH=1 / force_impl)
+for future long-sequence or memory-bound regimes. The official
+jax.experimental.pallas.ops.tpu kernels do not compile under this
+image's remote-compile tunnel (HTTP 413 payload limit).
 
 Bias comes FACTORED: ``gate [B,H,Tq]`` × ``shared_bias [H,Tq,Tk]``
 (WavLM's gated relative position bias, reference semantics in
