@@ -96,10 +96,10 @@ def train_main(
     return best
 
 
-def _scoring_engine(args, ranking: bool, trimodal: bool, strict: bool):
+def _scoring_engine(args, ranking: bool, trimodal: bool, strict: bool, **overrides):
     set_deterministic(seed=args.seed)
     cfg = load_fusion_config(args.config_path, trimodal=trimodal or None)
-    engine = _engine(cfg, args.seed, ranking, trimodal)
+    engine = _engine(cfg, args.seed, ranking, trimodal, **overrides)
     engine.init_params()
     engine.load_torch_checkpoint(
         os.path.join(cfg.model_path, "multimodal_ser.pt"), strict=strict
@@ -107,12 +107,12 @@ def _scoring_engine(args, ranking: bool, trimodal: bool, strict: bool):
     return cfg, engine
 
 
-def eval_main(ranking: bool = False, trimodal: bool = False, argv=None) -> str:
+def eval_main(ranking: bool = False, trimodal: bool = False, argv=None, **overrides) -> str:
     """Dev-split scoring → results/dev.csv (reference eval_cat_*…py)."""
     from .train.data import LazyFeatureDataset
 
     args = _parser().parse_args(argv)
-    cfg, engine = _scoring_engine(args, ranking, trimodal, strict=False)
+    cfg, engine = _scoring_engine(args, ranking, trimodal, strict=False, **overrides)
     logger = setup_run_logging(cfg.model_path)
 
     df = L.load_merged(cfg.label_path, cfg.txt_dir)
@@ -130,14 +130,14 @@ def eval_main(ranking: bool = False, trimodal: bool = False, argv=None) -> str:
     )
 
 
-def test_main(ranking: bool = False, trimodal: bool = False, argv=None) -> str:
+def test_main(ranking: bool = False, trimodal: bool = False, argv=None, **overrides) -> str:
     """Blind-test scoring → results/test.csv (reference test_cat_*stacking*)."""
     import pandas as pd
 
     from .train.data import LazyFeatureDataset
 
     args = _parser(test=True).parse_args(argv)
-    cfg, engine = _scoring_engine(args, ranking, trimodal, strict=True)
+    cfg, engine = _scoring_engine(args, ranking, trimodal, strict=True, **overrides)
     test_df = pd.read_csv(args.test_df)
     dummy_labels = np.zeros((len(test_df), cfg.num_emotions), np.float32)
     ds = LazyFeatureDataset(

@@ -74,6 +74,9 @@ class MultiModalEmotionClassifier(nn.Module):
     # 'grl' = adversarial gender head (…_grlgender.py), 'aux' = plain aux
     # head (…_gender.py); adds a second output alongside the logits
     gender_head: Optional[str] = None
+    # None = reference head counts (1; 2 for trimodal prosody); the pre-
+    # 1head legacy scripts used more heads (bin/old/train_cat_bimodal_lazy.py)
+    attention_heads: Optional[int] = None
     masked: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
@@ -106,7 +109,9 @@ class MultiModalEmotionClassifier(nn.Module):
         # weights) to every other modality; residual sum of all attended views.
         attn_mods = []
         for i, name in enumerate(names):
-            heads = 2 if (n_mod == 3 and name == "prosody") else 1
+            heads = self.attention_heads or (
+                2 if (n_mod == 3 and name == "prosody") else 1
+            )
             attn_mods.append(
                 TorchMultiheadAttention(
                     2 * H,

@@ -97,8 +97,13 @@ class EngineOptions:
     gender_mode: Optional[str] = None  # 'grl' | 'aux' (…_grlgender.py / …_gender.py)
     gender_weight: float = 1.0
     mse_weight: float = 0.0  # dim-task MSE auxiliary (train_dim…: ×10 variant)
-    model_variant: str = "fusion"  # 'fusion' | 'moe' (…_moe.py)
+    model_variant: str = "fusion"  # 'fusion' | 'moe' (…_moe.py) | 'single'
     num_experts: int = 4
+    dim_columns: Optional[Sequence[str]] = None  # per-attribute dim trainers
+    focal_gamma: float = 2.0  # …_focaloss_gamma3.py
+    unweighted_ce: bool = False  # …_nowce.py
+    add_ce_to_f1: bool = False  # …_f1loss_wce.py
+    attention_heads: Optional[int] = None  # pre-1head legacy head counts
 
 
 class FusionEngine:
@@ -110,7 +115,10 @@ class FusionEngine:
         self.opt = options or EngineOptions()
         self.mesh = make_mesh(self.opt.n_devices)
         self.n_data = self.mesh.shape["data"]
-        num_out = 3 if self.opt.task == "dim" else cfg.num_emotions
+        if self.opt.task == "dim":
+            num_out = len(self.opt.dim_columns or ("EmoAct", "EmoDom", "EmoVal"))
+        else:
+            num_out = cfg.num_emotions
         if self.opt.model_variant == "single":
             # wavlm-only lazy classifier (bin/old/train_cat_wavlm_lazy.py)
             from ..models.fusion_variants import SingleModalitySERClassifier
@@ -138,6 +146,7 @@ class FusionEngine:
                 dropout=cfg.dropout,
                 neutral_head=self.opt.ranking,
                 gender_head=self.opt.gender_mode,
+                attention_heads=self.opt.attention_heads,
                 masked=self.opt.masked,
             )
         self.rng = numpy_generator(seed)
@@ -256,11 +265,15 @@ class FusionEngine:
             return backward, (backward, logits)
 
         y = jnp.argmax(labels, axis=1)
+        if opt.unweighted_ce:
+            class_w = None
         ce = losses.weighted_cross_entropy(logits, y, class_w, sample_mask)
         loss_type = opt.loss_type or ("focal" if self.cfg.use_focalloss else "ce")
+        if opt.unweighted_ce:
+            class_w = None  # …_nowce.py: plain CE regardless of balancing
         if loss_type == "focal":
             backward = losses.focal_loss(
-                logits, y, alpha=1.0, gamma=2.0,
+                logits, y, alpha=1.0, gamma=opt.focal_gamma,
                 dynamic_alpha=opt.focal_dynamic_alpha, sample_mask=sample_mask,
             )
         elif loss_type == "labelsmooth":
@@ -272,6 +285,8 @@ class FusionEngine:
             backward = losses.hierarchical_loss(logits, y, class_w, sample_mask=sample_mask)
         elif loss_type == "f1":
             backward = losses.diff_f1_loss(logits, labels)
+            if opt.add_ce_to_f1:  # …_f1loss_wce.py: diff-F1 + weighted CE
+                backward = backward + ce
         else:
             backward = ce
 
@@ -353,7 +368,10 @@ class FusionEngine:
         opt = self.opt
         os.makedirs(cfg.model_path, exist_ok=True)
 
-        label_cols = ["EmoAct", "EmoDom", "EmoVal"] if opt.task == "dim" else L.CLASSES
+        if opt.task == "dim":
+            label_cols = list(opt.dim_columns or ("EmoAct", "EmoDom", "EmoVal"))
+        else:
+            label_cols = L.CLASSES
         lazy_dirs, feat_dims = cfg.lazy_dirs, cfg.feat_dims
         if opt.model_variant == "single":
             lazy_dirs, feat_dims = (cfg.lazy_dir1,), (cfg.feat1_dim,)
@@ -543,7 +561,10 @@ class FusionEngine:
         bs = ((bs + self.n_data - 1) // self.n_data) * self.n_data
         n = len(dataset)
         order = np.argsort(_lengths_for_sort(dataset), kind="stable")
-        out_dim = 3 if self.opt.task == "dim" else self.cfg.num_emotions
+        if self.opt.task == "dim":
+            out_dim = len(self.opt.dim_columns or ("EmoAct", "EmoDom", "EmoVal"))
+        else:
+            out_dim = self.cfg.num_emotions
         logits_out = np.zeros((n, out_dim), np.float32)
         for start in range(0, n, bs):
             idxs = order[start : start + bs].tolist()
@@ -562,8 +583,9 @@ class FusionEngine:
             from ..utils.metrics import concordance_ccc
 
             labels = np.asarray(dataset.labels, np.float32)
-            cccs = [concordance_ccc(logits[:, i], labels[:, i]) for i in range(3)]
-            return {"loss": 3.0 - sum(cccs), "ccc": cccs, "logits": logits}
+            n_attr = logits.shape[1]
+            cccs = [concordance_ccc(logits[:, i], labels[:, i]) for i in range(n_attr)]
+            return {"loss": float(n_attr) - sum(cccs), "ccc": cccs, "logits": logits}
         y = np.argmax(dataset.labels, axis=1)
         preds = np.argmax(logits, axis=1)
         f1 = macro_f1(y, preds, self.cfg.num_emotions)

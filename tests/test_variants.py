@@ -195,3 +195,26 @@ class TestSingleModalityVariant:
         engine.init_params()
         best = engine.fit(df[df.Split_Set == "Train"], df[df.Split_Set == "Development"])
         assert best["macro_f1"] > 0.3
+
+
+class TestLegacyParameterizations:
+    def test_dim_single_attribute(self, variant_fixture):
+        engine, best = _fit(
+            variant_fixture, "dim_aro", task="dim", dim_columns=("EmoAct",)
+        )
+        assert best["dev_loss"] < 1.0  # 1 - CCC for a near-linear target
+
+    def test_focal_gamma3_and_nowce(self, variant_fixture):
+        _, best = _fit(
+            variant_fixture, "gamma3", loss_type="focal", focal_gamma=3.0,
+            unweighted_ce=True,
+        )
+        assert best["macro_f1"] > 0.2
+
+    def test_f1_plus_ce(self, variant_fixture):
+        _, best = _fit(variant_fixture, "f1ce", loss_type="f1", add_ce_to_f1=True)
+        assert best["macro_f1"] > 0.2
+
+    def test_attention_heads_override(self, variant_fixture):
+        _, best = _fit(variant_fixture, "heads4", attention_heads=4)
+        assert best["macro_f1"] > 0.2
