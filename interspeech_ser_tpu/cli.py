@@ -170,3 +170,66 @@ def extract_train_main(trimodal: bool = False, argv=None) -> str:
         logits, sub_df["FileName"].tolist(), cfg.model_path, dtype="train",
         filename_header="Filename",
     )
+
+
+def eval_dim_main(trimodal: bool = False, argv=None, **overrides) -> str:
+    """Dim-fusion dev scoring → results/dev.csv with EmoAct/EmoDom/EmoVal
+    predictions (reference bin/old/eval_dim_bimodal_lazy.py)."""
+    import csv as _csv
+
+    from .train.data import LazyFeatureDataset
+    from .utils.metrics import concordance_ccc
+
+    args = _parser().parse_args(argv)
+    cfg, engine = _scoring_engine(
+        args, ranking=False, trimodal=trimodal, strict=False, task="dim", **overrides
+    )
+    logger = setup_run_logging(cfg.model_path)
+    df = L.load_merged(cfg.label_path, cfg.txt_dir)
+    val_df = L.split(df, "Development")
+    cols = list(engine.opt.dim_columns or ("EmoAct", "EmoDom", "EmoVal"))
+    ds = LazyFeatureDataset(
+        val_df["FileName"].tolist(), val_df[cols].values, cfg.lazy_dirs, cfg.feat_dims
+    )
+    preds = engine.predict(ds)
+    labels = val_df[cols].values
+    cccs = [concordance_ccc(preds[:, i], labels[:, i]) for i in range(len(cols))]
+    logger.info(f"|Metrics| dev CCC = {cccs}")
+    os.makedirs(os.path.join(cfg.model_path, "results"), exist_ok=True)
+    out = os.path.join(cfg.model_path, "results", "dev.csv")
+    with open(out, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["Filename"] + cols)
+        for utt, row in zip(val_df["FileName"], preds):
+            w.writerow([utt] + [f"{v:.4f}" for v in row])
+    return out
+
+
+def test_dim_main(trimodal: bool = False, argv=None, **overrides) -> str:
+    """Dim-fusion blind-test scoring (reference bin/old/test_dim_bimodal_lazy.py)."""
+    import csv as _csv
+
+    import pandas as pd
+
+    from .train.data import LazyFeatureDataset
+
+    args = _parser(test=True).parse_args(argv)
+    cfg, engine = _scoring_engine(
+        args, ranking=False, trimodal=trimodal, strict=True, task="dim", **overrides
+    )
+    test_df = pd.read_csv(args.test_df)
+    cols = list(engine.opt.dim_columns or ("EmoAct", "EmoDom", "EmoVal"))
+    ds = LazyFeatureDataset(
+        test_df["FileName"].tolist(),
+        np.zeros((len(test_df), len(cols)), np.float32),
+        cfg.lazy_dirs, cfg.feat_dims,
+    )
+    preds = engine.predict(ds)
+    os.makedirs(os.path.join(cfg.model_path, "results"), exist_ok=True)
+    out = os.path.join(cfg.model_path, "results", "test.csv")
+    with open(out, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["FileName"] + cols)
+        for utt, row in zip(test_df["FileName"], preds):
+            w.writerow([utt] + [f"{v:.4f}" for v in row])
+    return out
