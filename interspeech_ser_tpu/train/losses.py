@@ -24,10 +24,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # 8x8 emotion similarity prior (Angry,Sad,Happy,Surprise,Fear,Disgust,Contempt,
-# Neutral), from reference src/losses/loss.py:134-144.
-EMOTION_SIMILARITY = jnp.asarray(
+# Neutral), from reference src/losses/loss.py:134-144. Kept as a host numpy
+# constant: a module-level jnp array would initialize the JAX backend at
+# import time (breaking platform selection in __graft_entry__).
+EMOTION_SIMILARITY = np.asarray(
     [
         [1.00, 0.30, 0.10, 0.25, 0.30, 0.60, 0.70, 0.20],
         [0.30, 1.00, 0.10, 0.20, 0.40, 0.30, 0.40, 0.50],
