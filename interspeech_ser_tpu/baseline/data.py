@@ -79,6 +79,9 @@ class WavDataset:
         # optional feature-extractor hook (reference WavSet whisper/w2v2
         # processor variants, dataset.py:185-200), e.g. ops.mel.whisper_log_mel
         self.processor_fn = processor_fn
+        # optional waveform augmentation applied BEFORE normalization
+        # (reference WavSet timbre perturbation, dataset.py:176-179)
+        self.augment_fn = None
         if wav_mean is None or wav_std is None:
             wav_mean, wav_std = get_norm_stat_for_wav(self.wav_list)
         self.wav_mean = float(wav_mean)
@@ -89,6 +92,8 @@ class WavDataset:
 
     def get(self, idx: int) -> Tuple[np.ndarray, int]:
         w = self.wav_list[idx][: self.max_dur]
+        if self.augment_fn is not None:
+            w = np.asarray(self.augment_fn(w))
         if self.normalize_wav:
             w = (w - self.wav_mean) / (self.wav_std + 1e-6)
         w = w.astype(np.float32)

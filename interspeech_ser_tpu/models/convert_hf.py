@@ -323,3 +323,43 @@ def speech_flax_to_hf(params: Dict, config) -> Dict[str, np.ndarray]:
             src, "feed_forward", "output_dense", "bias"
         )
     return sd
+
+
+def roberta_flax_to_hf(params: Dict, config) -> Dict[str, np.ndarray]:
+    """RobertaModel (flax) params → HF RobertaModel state dict.
+
+    Inverse of :func:`roberta_hf_to_flax`; used by the joint roberta+wavlm
+    fine-tune engine to export ``final_text_model.pt``
+    (reference: bin/old/train_cat_roberta_wavlm_ftall.py:381-385).
+    """
+
+    def get(*path):
+        node = params
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    sd: Dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": get("word_embeddings"),
+        "embeddings.position_embeddings.weight": get("position_embeddings"),
+        "embeddings.token_type_embeddings.weight": get("token_type_embeddings"),
+        "embeddings.LayerNorm.weight": get("emb_layer_norm", "scale"),
+        "embeddings.LayerNorm.bias": get("emb_layer_norm", "bias"),
+    }
+    for i in range(config.num_layers):
+        base = f"encoder.layer.{i}"
+        src = f"layer{i}"
+        for name in ("query", "key", "value"):
+            sd[f"{base}.attention.self.{name}.weight"] = get(src, "self", name, "kernel").T
+            sd[f"{base}.attention.self.{name}.bias"] = get(src, "self", name, "bias")
+        sd[f"{base}.attention.output.dense.weight"] = get(src, "attn_output", "kernel").T
+        sd[f"{base}.attention.output.dense.bias"] = get(src, "attn_output", "bias")
+        sd[f"{base}.attention.output.LayerNorm.weight"] = get(src, "attn_layer_norm", "scale")
+        sd[f"{base}.attention.output.LayerNorm.bias"] = get(src, "attn_layer_norm", "bias")
+        sd[f"{base}.intermediate.dense.weight"] = get(src, "intermediate", "kernel").T
+        sd[f"{base}.intermediate.dense.bias"] = get(src, "intermediate", "bias")
+        sd[f"{base}.output.dense.weight"] = get(src, "output", "kernel").T
+        sd[f"{base}.output.dense.bias"] = get(src, "output", "bias")
+        sd[f"{base}.output.LayerNorm.weight"] = get(src, "output_layer_norm", "scale")
+        sd[f"{base}.output.LayerNorm.bias"] = get(src, "output_layer_norm", "bias")
+    return sd

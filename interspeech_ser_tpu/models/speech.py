@@ -51,10 +51,21 @@ class SpeechConfig:
     conv_pos_groups: int = 16
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"  # compute dtype; params always f32
+    # None → tanh-approx gelu iff bf16. Exact erf gelu is VPU-bound on TPU
+    # (measured 8.7 ms on one [16,32k,512] tensor, ~1 ms per FFN layer); the
+    # tanh form's max error (~2e-3) is below bf16 rounding (~8e-3 at |x|≈1),
+    # so bf16 mode keeps cosine parity while f32 mode stays bit-exact.
+    approx_gelu: Optional[bool] = None
 
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def use_approx_gelu(self) -> bool:
+        if self.approx_gelu is None:
+            return self.dtype == "bfloat16"
+        return self.approx_gelu
 
     @classmethod
     def from_hf(cls, hf_config, attention_type: Optional[str] = None, dtype: str = "float32"):
@@ -114,6 +125,46 @@ def feat_extract_output_length(length, config: SpeechConfig):
     return length
 
 
+class PatchMatmulConv(nn.Module):
+    """VALID strided conv over a single input channel, as a patch matmul.
+
+    Parameter layout is identical to ``nn.Conv`` (``kernel`` [k, 1, out],
+    ``bias`` [out]) so checkpoint converters are unaffected; requires
+    ``k % s == 0`` (WavLM/w2v2/HuBERT layer 0: k=10, s=5).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, L, 1]
+        k, s = self.kernel_size, self.stride
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, 1, self.features),
+            jnp.float32,
+        )
+        B, L, _ = x.shape
+        t_out = (L - k) // s + 1
+        n = k // s
+        t0 = t_out + n - 1  # s-sized phases covering every patch
+        xr = x[:, : t0 * s, 0].reshape(B, t0, s)
+        patches = jnp.concatenate(
+            [xr[:, j : j + t_out, :] for j in range(n)], axis=-1
+        )  # [B, t_out, k]
+        out = patches @ kernel.reshape(k, self.features).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvFeatureExtractor(nn.Module):
     """7-layer strided conv frontend (hop 320).
 
@@ -131,10 +182,18 @@ class ConvFeatureExtractor(nn.Module):
         for i, (out_ch, k, s) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
-            x = nn.Conv(
-                out_ch, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
-                dtype=dt, param_dtype=jnp.float32, name=f"conv{i}",
-            )(x)
+            if i == 0 and x.shape[-1] == 1 and k % s == 0:
+                # XLA's C_in=1 conv is layout-bound (measured 3.9 ms for
+                # 5.2 GF on v5e); the same op as a strided-patch matmul runs
+                # on the MXU. Identical math: out[t] = ⟨wav[st:st+k], W⟩.
+                x = PatchMatmulConv(
+                    out_ch, k, s, cfg.conv_bias, dt, name=f"conv{i}"
+                )(x)
+            else:
+                x = nn.Conv(
+                    out_ch, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
+                    dtype=dt, param_dtype=jnp.float32, name=f"conv{i}",
+                )(x)
             if cfg.feat_extract_norm == "group" and i == 0:
                 x = nn.GroupNorm(
                     num_groups=out_ch, epsilon=1e-5, dtype=jnp.float32,
@@ -145,7 +204,7 @@ class ConvFeatureExtractor(nn.Module):
                     epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                     param_dtype=jnp.float32, name=f"conv_ln{i}",
                 )(x).astype(dt)
-            x = nn.gelu(x, approximate=False)
+            x = nn.gelu(x, approximate=cfg.use_approx_gelu)
         return x
 
 
@@ -170,7 +229,7 @@ class PositionalConvEmbedding(nn.Module):
         )(x)
         if k % 2 == 0:  # SamePadLayer: drop trailing element for even kernels
             h = h[:, :-1, :]
-        return nn.gelu(h, approximate=False)
+        return nn.gelu(h, approximate=cfg.use_approx_gelu)
 
 
 def _relative_position_buckets(tq: int, tk: int, num_buckets: int, max_distance: int):
@@ -278,7 +337,7 @@ class FeedForward(nn.Module):
             cfg.intermediate_size, dtype=dt, param_dtype=jnp.float32,
             name="intermediate_dense",
         )(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=cfg.use_approx_gelu)
         return nn.Dense(
             cfg.hidden_size, dtype=dt, param_dtype=jnp.float32, name="output_dense"
         )(h)
