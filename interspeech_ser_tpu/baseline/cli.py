@@ -139,3 +139,74 @@ def eval_main(task: str = "cat", dev: bool = False, argv=None):
         with open(args.store_path, "w") as f:
             f.write(out + "\n")
     return out
+
+
+def legacy_train_main(variant: str = "base", argv=None):
+    """Config-JSON-driven baselinelike trainers (reference bin/old/).
+
+    Variants: 'base' (train_cat_baselinelike.py), 'focalloss'
+    (…_focalloss.py: loss = unweighted CE + focal γ3 dynamic-α), 'xvector'
+    (…_xvector.py: speechbrain x-vector encoder instead of an SSL model).
+    Config keys follow the reference contract (…baselinelike.py:50-71):
+    wav_dir, label_path, ssl_type, batch_size, accum_step, epochs, lr,
+    model_path, head_dim, pooling_type, weight_decay, dropout_head,
+    use_timbre_perturb, tp_prob (+ optional use_balanced_batch,
+    normalize_wav). 'xvector' additionally honors optional xvector_ckpt
+    (path to a speechbrain embedding_model checkpoint).
+    """
+    import logging
+    import time
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--config_path", type=str, default="./configs/config_cat.json")
+    args = p.parse_args(argv)
+    with open(args.config_path) as f:
+        cfg = json.load(f)
+    model_path = cfg["model_path"]
+    os.makedirs(model_path, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+        handlers=[
+            logging.FileHandler(os.path.join(model_path, "loggingtxt-%d.log" % time.time())),
+            logging.StreamHandler(),
+        ],
+        force=True,
+    )
+    logger = logging.getLogger()
+    common = dict(
+        label_path=cfg["label_path"],
+        audio_path=cfg["wav_dir"],
+        model_path=model_path,
+        batch_size=cfg["batch_size"],
+        accumulation_steps=cfg["accum_step"],
+        epochs=cfg["epochs"],
+        lr=cfg["lr"],
+        use_balanced_batch=cfg.get("use_balanced_batch", False),
+        normalize_wav=cfg.get("normalize_wav", True),
+        log=logger.info,
+    )
+    if variant == "xvector":
+        from .xvector_engine import XVectorEngine
+
+        engine = XVectorEngine(
+            head_dim=cfg["head_dim"], seed=args.seed,
+            xvector_ckpt=cfg.get("xvector_ckpt"),
+        )
+        return engine.fit(**common)
+
+    from .engine import BaselineEngine
+
+    ssl = get_ssl_type(cfg["ssl_type"]) or cfg["ssl_type"]
+    engine = BaselineEngine(
+        ssl, task="cat", head_dim=cfg["head_dim"], seed=args.seed,
+        dropout=cfg.get("dropout_head", 0.5),
+        loss_mode="ce_focal3" if variant == "focalloss" else "wce",
+    )
+    return engine.fit(
+        weight_decay=cfg.get("weight_decay", 1e-2),
+        use_timbre_perturb=cfg.get("use_timbre_perturb", False),
+        tp_prob=cfg.get("tp_prob", 0.0),
+        **common,
+    )

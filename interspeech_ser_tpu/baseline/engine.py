@@ -52,6 +52,8 @@ class BaselineEngine:
         seed: int = 100,
         dtype: str = "float32",
         n_devices: Optional[int] = None,
+        dropout: float = 0.5,
+        loss_mode: str = "wce",  # 'wce' | 'ce_focal3' (baselinelike_focalloss)
     ):
         from ..models.loader import build_speech_encoder
         from ..parallel.mesh import make_mesh
@@ -65,7 +67,8 @@ class BaselineEngine:
         feat_dim = self.ssl_cfg.hidden_size
         self.pool = AttentiveStatisticsPooling(feat_dim)
         out_dim = 8 if task == "cat" else 3
-        self.head = EmotionRegression(2 * feat_dim, head_dim, 1, out_dim, dropout=0.5)
+        self.loss_mode = loss_mode
+        self.head = EmotionRegression(2 * feat_dim, head_dim, 1, out_dim, dropout=dropout)
         self.head_dim = head_dim
         self.rng = numpy_generator(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -94,6 +97,14 @@ class BaselineEngine:
     def _loss(self, pred, labels, sample_mask, class_weights):
         if self.task == "cat":
             y = jnp.argmax(labels, axis=1)
+            if self.loss_mode == "ce_focal3":
+                # reference bin/old/train_cat_baselinelike_focalloss.py:266-272
+                return losses.weighted_cross_entropy(
+                    pred, y, None, sample_mask
+                ) + losses.focal_loss(
+                    pred, y, alpha=1.0, gamma=3.0, dynamic_alpha=True,
+                    sample_mask=sample_mask,
+                )
             return losses.weighted_cross_entropy(pred, y, class_weights, sample_mask)
         return losses.ccc_loss(pred, labels)  # Σ(1-CCC); masked rows excluded upstream
 
@@ -108,6 +119,11 @@ class BaselineEngine:
         accumulation_steps: int = 4,
         epochs: int = 20,
         lr: float = 1e-5,
+        weight_decay: float = 1e-2,
+        use_balanced_batch: bool = False,
+        normalize_wav: bool = True,
+        use_timbre_perturb: bool = False,
+        tp_prob: float = 0.0,
         log=print,
     ):
         from .podcast import load_adv_emo_label, load_cat_emo_label
@@ -119,11 +135,25 @@ class BaselineEngine:
         train_wavs = bdata.load_audio(audio_path, train_utts)
         dev_wavs = bdata.load_audio(audio_path, dev_utts)
 
-        train_set = bdata.WavDataset(train_wavs, train_labs, train_utts)
+        train_set = bdata.WavDataset(
+            train_wavs, train_labs, train_utts, normalize_wav=normalize_wav
+        )
+        if use_timbre_perturb:
+            from ..train.information_encoder import fixed_timbre_perturb
+
+            aug_rng = numpy_generator(int(self.rng.integers(1 << 31)))
+
+            def augment(w):  # reference WavSet, dataset.py:176-179
+                if aug_rng.random() < tp_prob:
+                    return fixed_timbre_perturb(w, sr=16000, rng=aug_rng)
+                return w
+
+            train_set.augment_fn = augment
         train_set.save_norm_stat(os.path.join(model_path, "train_norm_stat.pkl"))
         dev_set = bdata.WavDataset(
             dev_wavs, dev_labs, dev_utts,
             wav_mean=train_set.wav_mean, wav_std=train_set.wav_std,
+            normalize_wav=normalize_wav,
         )
 
         class_weights = None
@@ -148,7 +178,9 @@ class BaselineEngine:
 
         tx = optax.multi_transform(
             {
-                "train": optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2),
+                "train": optax.adamw(
+                    lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+                ),
                 "frozen": optax.set_to_zero(),
             },
             label_fn(self.params),
@@ -178,12 +210,32 @@ class BaselineEngine:
         params = self.params
         lengths = np.asarray([len(w) for w in train_wavs])
 
+        sample_w = None
+        if use_balanced_batch and self.task == "cat":
+            # per-sample inverse-frequency WeightedRandomSampler semantics
+            # (reference bin/old/train_cat_baselinelike_focalloss.py:167-186)
+            freq = np.asarray(train_labs).sum(axis=0).astype(np.float64)
+            inv = np.where(freq > 0, 1.0 / np.maximum(freq, 1), 0.0)
+            inv = inv * (len(inv) / inv.sum())
+            y_idx = np.argmax(np.asarray(train_labs), axis=1)
+            sample_w = inv[y_idx]
+            sample_w = sample_w / sample_w.sum()
+
         for epoch in range(epochs):
             log(f"Epoch: {epoch}")
             lm.init_stat()
-            batches = bdata.epoch_batches(
-                len(train_set), micro_bs, self.rng, True, lengths
-            )
+            if sample_w is not None:
+                order = self.rng.choice(
+                    len(train_set), size=len(train_set), replace=True, p=sample_w
+                )
+                batches = [
+                    list(order[i : i + micro_bs])
+                    for i in range(0, len(order), micro_bs)
+                ]
+            else:
+                batches = bdata.epoch_batches(
+                    len(train_set), micro_bs, self.rng, True, lengths
+                )
             accum, n_micro = None, 0
             for i, idxs in enumerate(batches):
                 b = bdata.collate_wav(train_set, idxs, micro_bs)

@@ -28,7 +28,12 @@ class XVector(nn.Module):
     lin_neurons: int = 512
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
         frame_mask = None
         if lengths is not None:
             T0 = x.shape[1]
@@ -40,7 +45,7 @@ class XVector(nn.Module):
             )(x)
             x = nn.relu(x)
             x = nn.BatchNorm(
-                use_running_average=True, epsilon=1e-5, name=f"bn{i}"
+                use_running_average=not train, epsilon=1e-5, name=f"bn{i}"
             )(x)
             if frame_mask is not None:
                 # re-zero the padded tail so deeper dilated convs see the
@@ -102,3 +107,33 @@ def xvector_from_speechbrain(sd: Dict[str, np.ndarray]) -> Dict:
             "bias": sd.get(lin[0].replace("weight", "bias"), np.zeros(sd[lin[0]].shape[0])),
         }
     return {"params": params, "batch_stats": batch_stats}
+
+
+def xvector_to_speechbrain(variables: Dict) -> Dict[str, np.ndarray]:
+    """XVector params/batch_stats → speechbrain ``embedding_model`` names.
+
+    Inverse of :func:`xvector_from_speechbrain`; the x-vector trainer saves
+    ``final_xvector.pt`` in this layout
+    (reference: bin/old/train_cat_baselinelike_xvector.py:311-312).
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(len(TDNN_BLOCKS)):
+        conv_idx, norm_idx = 3 * i, 3 * i + 2  # Conv1d, ReLU(no params), BN
+        sd[f"blocks.{conv_idx}.conv.weight"] = np.transpose(
+            np.asarray(params[f"tdnn{i}"]["kernel"]), (2, 1, 0)
+        )
+        sd[f"blocks.{conv_idx}.conv.bias"] = np.asarray(params[f"tdnn{i}"]["bias"])
+        sd[f"blocks.{norm_idx}.norm.weight"] = np.asarray(params[f"bn{i}"]["scale"])
+        sd[f"blocks.{norm_idx}.norm.bias"] = np.asarray(params[f"bn{i}"]["bias"])
+        if f"bn{i}" in batch_stats:
+            sd[f"blocks.{norm_idx}.norm.running_mean"] = np.asarray(
+                batch_stats[f"bn{i}"]["mean"]
+            )
+            sd[f"blocks.{norm_idx}.norm.running_var"] = np.asarray(
+                batch_stats[f"bn{i}"]["var"]
+            )
+    sd["blocks.16.w.weight"] = np.asarray(params["embedding"]["kernel"]).T
+    sd["blocks.16.w.bias"] = np.asarray(params["embedding"]["bias"])
+    return sd

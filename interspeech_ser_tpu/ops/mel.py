@@ -143,3 +143,75 @@ def whisper_log_mel(
     log_spec = jnp.maximum(log_spec, max_per_sample - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
     return jnp.transpose(log_spec, (0, 2, 1))  # [B, M, F]
+
+
+def hz_to_mel_htk(freq):
+    return 2595.0 * np.log10(1.0 + np.asarray(freq, np.float64) / 700.0)
+
+
+def mel_to_hz_htk(mels):
+    return 700.0 * (10.0 ** (np.asarray(mels, np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=4)
+def _htk_mel_bank(num_bins: int, num_mels: int, fmin: float, fmax: float, sr: int):
+    fft_freqs = np.linspace(0, sr / 2, num_bins)
+    mel_pts = np.linspace(hz_to_mel_htk(fmin), hz_to_mel_htk(fmax), num_mels + 2)
+    f_pts = mel_to_hz_htk(mel_pts)
+    fdiff = np.diff(f_pts)
+    slopes = f_pts[None, :] - fft_freqs[:, None]
+    down = -slopes[:, :-2] / fdiff[:-1]
+    up = slopes[:, 2:] / fdiff[1:]
+    return np.maximum(0.0, np.minimum(down, up)).astype(np.float32)
+
+
+def speechbrain_fbank(
+    wav: jnp.ndarray,  # [B, L] @16 kHz
+    num_mels: int = 24,
+    n_fft: int = 400,
+    hop_length: int = 160,
+    sampling_rate: int = 16000,
+    lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """speechbrain ``Fbank`` + sentence-level mean norm, [B, F, num_mels].
+
+    Math parity target: speechbrain.lobes.features.Fbank defaults as used by
+    ``spkrec-xvect-voxceleb`` (reference bin/old/train_cat_baselinelike_xvector.py:177
+    calls ``EncoderClassifier.encode_batch`` whose pipeline is Fbank(24 mel,
+    25 ms/10 ms, HTK mel scale, 10·log10 with top_db=80) → per-sentence mean
+    normalization). speechbrain itself is not installable in this image, so
+    this is a documented re-implementation, unit-tested for shape/finiteness
+    and masking behavior rather than golden outputs.
+    """
+    wav = wav.astype(jnp.float32)
+    # speechbrain STFT: center=True (reflect), periodic hamming window
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    B, L = x.shape
+    num_frames = 1 + (L - n_fft) // hop_length
+    idx = np.arange(num_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = x[:, jnp.asarray(idx)]
+    n = np.arange(n_fft)
+    win = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / n_fft)  # periodic hamming
+    k = np.arange(1 + n_fft // 2)
+    angle = 2.0 * np.pi * np.outer(n, k) / n_fft
+    cos_b = jnp.asarray((np.cos(angle) * win[:, None]).astype(np.float32))
+    sin_b = jnp.asarray((-np.sin(angle) * win[:, None]).astype(np.float32))
+    real = frames @ cos_b
+    imag = frames @ sin_b
+    power = real * real + imag * imag
+    fb = jnp.asarray(_htk_mel_bank(1 + n_fft // 2, num_mels, 0.0, sampling_rate / 2, sampling_rate))
+    mel = power @ fb
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    # top_db clamp (per-sample)
+    log_mel = jnp.maximum(log_mel, jnp.max(log_mel, axis=(1, 2), keepdims=True) - 80.0)
+    # sentence-level mean normalization (InputNormalization std_norm=False)
+    if lengths is not None:
+        fl = 1 + (lengths.astype(jnp.int32)) // hop_length
+        m = (jnp.arange(num_frames)[None, :] < fl[:, None]).astype(jnp.float32)[:, :, None]
+        mean = jnp.sum(log_mel * m, axis=1, keepdims=True) / jnp.maximum(
+            jnp.sum(m, axis=1, keepdims=True), 1.0
+        )
+    else:
+        mean = jnp.mean(log_mel, axis=1, keepdims=True)
+    return log_mel - mean
