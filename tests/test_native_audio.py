@@ -19,6 +19,10 @@ def _ensure_built():
         r = subprocess.run(["make", "-C", os.path.join(ROOT, "native")], capture_output=True)
         if r.returncode != 0 or not os.path.exists(so):
             pytest.skip("native toolchain unavailable")
+    # an earlier test may have probed before the build and cached a negative
+    from interspeech_ser_tpu.utils import native_audio
+
+    native_audio.reset_cache()
     return so
 
 
