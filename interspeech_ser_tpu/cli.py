@@ -42,9 +42,8 @@ def _parser(extract: bool = False, test: bool = False) -> argparse.ArgumentParse
 
 
 def _engine(cfg, seed: int, ranking: bool, trimodal: bool, **overrides) -> FusionEngine:
-    options = EngineOptions(
-        ranking=ranking, focal_dynamic_alpha=trimodal, **overrides
-    )
+    overrides.setdefault("focal_dynamic_alpha", trimodal)
+    options = EngineOptions(ranking=ranking, **overrides)
     return FusionEngine(cfg, seed=seed, options=options)
 
 
@@ -87,6 +86,11 @@ def train_main(
 
     engine = _engine(cfg, args.seed, ranking, trimodal, **engine_overrides)
     engine.init_params()
+    if engine_overrides.get("init_from_pretrained"):
+        # …_fromcat.py: warm-start from the cat-trained checkpoint named by
+        # the config's pretrained_path, keeping name+shape matches only
+        engine.load_torch_checkpoint_filtered(cfg.raw["pretrained_path"])
+        logger.info(f"Warm-started from {cfg.raw['pretrained_path']}")
     logger.info("Starting training...")
     best = engine.fit(train_df, val_df, log=logger, resume=getattr(args, 'resume', False))
     if engine_overrides.get("task") == "dim":

@@ -51,8 +51,9 @@ def torch_to_flax(sd: Dict[str, np.ndarray], n_mod: int) -> Dict:
         enc = f"{mod}_encoder"
         put((enc, "projection", "kernel"), sd[f"{mod}_projection.weight"].T)
         put((enc, "projection", "bias"), sd[f"{mod}_projection.bias"])
-        put((enc, "norm", "scale"), sd[f"{mod}_norm.weight"])
-        put((enc, "norm", "bias"), sd[f"{mod}_norm.bias"])
+        if f"{mod}_norm.weight" in sd:  # absent in the gender_svm variant
+            put((enc, "norm", "scale"), sd[f"{mod}_norm.weight"])
+            put((enc, "norm", "bias"), sd[f"{mod}_norm.bias"])
         for d, suffix in (("fwd", ""), ("bwd", "_reverse")):
             put((enc, "gru", f"w_ih_{d}"), sd[f"{mod}_gru.weight_ih_l0{suffix}"].T)
             put((enc, "gru", f"w_hh_{d}"), sd[f"{mod}_gru.weight_hh_l0{suffix}"].T)
@@ -65,6 +66,9 @@ def torch_to_flax(sd: Dict[str, np.ndarray], n_mod: int) -> Dict:
         put((att, "out_bias"), sd[f"{att}.out_proj.bias"])
         put((f"{mod}_pool_attn", "kernel"), sd[f"{mod}_attn.weight"].T)
         put((f"{mod}_pool_attn", "bias"), sd[f"{mod}_attn.bias"])
+        if f"{mod}_gate.weight" in sd:  # fiona's pooled-rep gates
+            put((f"{mod}_gate", "kernel"), sd[f"{mod}_gate.weight"].T)
+            put((f"{mod}_gate", "bias"), sd[f"{mod}_gate.bias"])
 
     put(("fusion_norm", "scale"), sd["layer_norm.weight"])
     put(("fusion_norm", "bias"), sd["layer_norm.bias"])
@@ -94,8 +98,9 @@ def flax_to_torch(params: Dict, n_mod: int) -> Dict[str, np.ndarray]:
         enc = f"{mod}_encoder"
         sd[f"{mod}_projection.weight"] = get(enc, "projection", "kernel").T
         sd[f"{mod}_projection.bias"] = get(enc, "projection", "bias")
-        sd[f"{mod}_norm.weight"] = get(enc, "norm", "scale")
-        sd[f"{mod}_norm.bias"] = get(enc, "norm", "bias")
+        if "norm" in params[enc]:  # absent in the gender_svm variant
+            sd[f"{mod}_norm.weight"] = get(enc, "norm", "scale")
+            sd[f"{mod}_norm.bias"] = get(enc, "norm", "bias")
         for d, suffix in (("fwd", ""), ("bwd", "_reverse")):
             sd[f"{mod}_gru.weight_ih_l0{suffix}"] = get(enc, "gru", f"w_ih_{d}").T
             sd[f"{mod}_gru.weight_hh_l0{suffix}"] = get(enc, "gru", f"w_hh_{d}").T
@@ -108,6 +113,9 @@ def flax_to_torch(params: Dict, n_mod: int) -> Dict[str, np.ndarray]:
         sd[f"{att}.out_proj.bias"] = get(att, "out_bias")
         sd[f"{mod}_attn.weight"] = get(f"{mod}_pool_attn", "kernel").T
         sd[f"{mod}_attn.bias"] = get(f"{mod}_pool_attn", "bias")
+        if f"{mod}_gate" in params:  # fiona's pooled-rep gates
+            sd[f"{mod}_gate.weight"] = get(f"{mod}_gate", "kernel").T
+            sd[f"{mod}_gate.bias"] = get(f"{mod}_gate", "bias")
 
     sd["layer_norm.weight"] = get("fusion_norm", "scale")
     sd["layer_norm.bias"] = get("fusion_norm", "bias")

@@ -38,17 +38,23 @@ MODALITY_NAMES = ("speech", "text", "prosody")
 
 
 class _ModalityEncoder(nn.Module):
-    """Linear projection → LayerNorm → BiGRU for one modality."""
+    """Linear projection → LayerNorm → BiGRU for one modality.
+
+    ``use_norm=False`` drops the post-projection LayerNorm (the gender_svm
+    legacy model removes it — bin/old/train_cat_bimodal_lazy_gender_svm.py).
+    """
 
     fusion_hidden_dim: int
     param_dtype: jnp.dtype = jnp.float32
+    use_norm: bool = True
 
     @nn.compact
     def __call__(
         self, feats: jnp.ndarray, mask: Optional[jnp.ndarray], use_gru_kernel: bool = False
     ) -> jnp.ndarray:
         h = nn.Dense(self.fusion_hidden_dim, param_dtype=self.param_dtype, name="projection")(feats)
-        h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, name="norm")(h)
+        if self.use_norm:
+            h = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, name="norm")(h)
         return BiGRU(self.fusion_hidden_dim, param_dtype=self.param_dtype, name="gru")(
             h, mask, use_kernel=use_gru_kernel
         )
@@ -78,6 +84,12 @@ class MultiModalEmotionClassifier(nn.Module):
     # 1head legacy scripts used more heads (bin/old/train_cat_bimodal_lazy.py)
     attention_heads: Optional[int] = None
     masked: bool = True
+    # fiona variant: sigmoid gates on the pooled representations before
+    # concat (bin/old/train_cat_bimodal_lazy_fiona.py:276-339); the gated
+    # values are also what its CKA loss couples
+    gated_pool: bool = False
+    # gender_svm variant drops the post-projection LayerNorms
+    modality_norm: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,9 +112,10 @@ class MultiModalEmotionClassifier(nn.Module):
         hidden = []
         for name, x, m in zip(names, feats, masks):
             hidden.append(
-                _ModalityEncoder(H, self.param_dtype, name=f"{name}_encoder")(
-                    x, m, use_gru_kernel
-                )
+                _ModalityEncoder(
+                    H, self.param_dtype, use_norm=self.modality_norm,
+                    name=f"{name}_encoder",
+                )(x, m, use_gru_kernel)
             )
 
         # Cross-modal attention: module per query modality, applied (with tied
@@ -140,6 +153,14 @@ class MultiModalEmotionClassifier(nn.Module):
                 finals[i]
             )
             pooled.append(attention_pool(finals[i], scores, masks[i]))
+
+        if self.gated_pool:
+            pooled = [
+                p * nn.sigmoid(
+                    nn.Dense(2 * H, param_dtype=self.param_dtype, name=f"{name}_gate")(p)
+                )
+                for name, p in zip(names, pooled)
+            ]
 
         concatenated = jnp.concatenate(pooled, axis=-1)  # [B, 2H * n_mod]
         normalized = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype, name="fusion_norm")(

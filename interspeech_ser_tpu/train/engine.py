@@ -94,7 +94,8 @@ class EngineOptions:
     loss_type: Optional[str] = None  # None→cfg flags; 'ce'|'focal'|'labelsmooth'|'hierarchical'|'f1'
     label_smoothing: float = 0.1
     cka_weight: float = 0.0  # couple speech/text pooled reps (…_cka.py)
-    gender_mode: Optional[str] = None  # 'grl' | 'aux' (…_grlgender.py / …_gender.py)
+    # 'grl' | 'aux' | 'svm' (…_grlgender.py / …_gender.py / …_gender_svm.py)
+    gender_mode: Optional[str] = None
     gender_weight: float = 1.0
     mse_weight: float = 0.0  # dim-task MSE auxiliary (train_dim…: ×10 variant)
     model_variant: str = "fusion"  # 'fusion' | 'moe' (…_moe.py) | 'single'
@@ -104,6 +105,11 @@ class EngineOptions:
     unweighted_ce: bool = False  # …_nowce.py
     add_ce_to_f1: bool = False  # …_f1loss_wce.py
     attention_heads: Optional[int] = None  # pre-1head legacy head counts
+    # …_fromcat.py: warm-start from a cat-trained checkpoint, keeping only
+    # name+shape matches (the 3-dim head differs from the 8-emotion head)
+    init_from_pretrained: bool = False
+    gated_pool: bool = False  # …_fiona.py: sigmoid gates on pooled reps
+    modality_norm: bool = True  # False: …_gender_svm.py drops the proj LNs
 
 
 class FusionEngine:
@@ -127,6 +133,10 @@ class FusionEngine:
                 feat_dim=cfg.feat1_dim,
                 hidden_dim=cfg.fusion_hidden_dim,
                 num_categories=num_out,
+                # every single-modality reference script instantiates the
+                # classifier with num_attention_heads=1 (train_cat_wavlm_lazy
+                # .py:314, train_cat_wavlmbaseplussv_lazy.py:291)
+                num_heads=self.opt.attention_heads or 1,
             )
         elif self.opt.model_variant == "moe":
             from ..models.fusion_variants import MoEEmotionClassifier
@@ -139,15 +149,21 @@ class FusionEngine:
                 dropout=cfg.dropout,
             )
         else:
+            # the svm variant's gender head is the plain (no-GRL) aux head
+            gender_head = self.opt.gender_mode
+            if gender_head == "svm":
+                gender_head = "aux"
             self.model = MultiModalEmotionClassifier(
                 feat_dims=cfg.feat_dims,
                 fusion_hidden_dim=cfg.fusion_hidden_dim,
                 num_emotions=num_out,
                 dropout=cfg.dropout,
                 neutral_head=self.opt.ranking,
-                gender_head=self.opt.gender_mode,
+                gender_head=gender_head,
                 attention_heads=self.opt.attention_heads,
                 masked=self.opt.masked,
+                gated_pool=self.opt.gated_pool,
+                modality_norm=self.opt.modality_norm,
             )
         self.rng = numpy_generator(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -200,6 +216,31 @@ class FusionEngine:
                             f"size mismatch for {prefix}{k}: checkpoint "
                             f"{v.shape} vs model {base[k].shape}"
                         )
+                    base[k] = v.astype(base[k].dtype)
+
+        merge(host, loaded)
+        self.params = replicate(self.mesh, host)
+
+    def load_torch_checkpoint_filtered(self, path: str):
+        """Warm-start load keeping only name+shape matches.
+
+        Mirrors bin/old/train_dim_bimodal_lazy_fromcat.py:342-352: the cat
+        checkpoint's 8-way head is silently skipped when this engine's head
+        (e.g. 3-dim regression) has a different shape.
+        """
+        sd = ptio.load_state_dict(path)
+        loaded = torch_to_flax(sd, len(self.cfg.feat_dims))
+        if self.params is None:
+            self.init_params()
+        host = jax.tree.map(np.asarray, self.params)
+
+        def merge(base, new):
+            for k, v in new.items():
+                if k not in base:
+                    continue
+                if isinstance(v, dict):
+                    merge(base[k], v)
+                elif base[k].shape == v.shape:
                     base[k] = v.astype(base[k].dtype)
 
         merge(host, loaded)
@@ -299,7 +340,20 @@ class FusionEngine:
             backward = backward + opt.cka_weight * losses.cka_loss(
                 out["pooled"][0], out["pooled"][1]
             )
-        if opt.gender_mode is not None and aux_y is not None:
+        if opt.gender_mode == "svm" and aux_y is not None:
+            # …_gender_svm.py:446-467: hinge ranking on the gender head ×0.01.
+            # QUIRK preserved: the non-focal branch computes its CE on the
+            # GENDER logits (L455), so the emotion head trains only under
+            # use_focalloss — replicating the reference bug faithfully.
+            svm = losses.svm_ranking_loss(
+                out["gender"], aux_y.astype(jnp.int32), sample_mask=sample_mask
+            )
+            if loss_type != "focal":
+                backward = losses.weighted_cross_entropy(
+                    out["gender"], aux_y.astype(jnp.int32), None, sample_mask
+                )
+            backward = backward + 0.01 * svm
+        elif opt.gender_mode is not None and aux_y is not None:
             backward = backward + opt.gender_weight * losses.weighted_cross_entropy(
                 out["gender"], aux_y.astype(jnp.int32), None, sample_mask
             )

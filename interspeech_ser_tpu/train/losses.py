@@ -162,6 +162,25 @@ def hierarchical_loss(
     return ce + similarity_weight * kl
 
 
+def svm_ranking_loss(
+    logits: jnp.ndarray,  # [B, 2] (female, male) scores
+    targets: jnp.ndarray,  # [B] 1 = male, 0 = female
+    margin: float = 1.0,
+    sample_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Hinge on the (male − female) score ordering.
+
+    Reference ``SVMRankingLoss`` (bin/old/train_cat_bimodal_lazy_gender_svm
+    .py:26-43): loss = mean(clamp(margin − t·(male − female), 0)) with
+    t = 2y − 1.
+    """
+    male = logits[:, 1].astype(jnp.float32)
+    female = logits[:, 0].astype(jnp.float32)
+    t = 2.0 * targets.astype(jnp.float32) - 1.0
+    diff = jnp.maximum(margin - t * (male - female), 0.0)
+    return _masked_mean(diff, sample_mask)
+
+
 def cka_loss(feat_a: jnp.ndarray, feat_b: jnp.ndarray) -> jnp.ndarray:
     """1 - linear CKA between two [B, D] feature batches (loss.py:34-77)."""
     a = feat_a.astype(jnp.float32)

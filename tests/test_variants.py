@@ -218,3 +218,93 @@ class TestLegacyParameterizations:
     def test_attention_heads_override(self, variant_fixture):
         _, best = _fit(variant_fixture, "heads4", attention_heads=4)
         assert best["macro_f1"] > 0.2
+
+
+class TestFromCat:
+    def test_warm_start_filtered_load(self, variant_fixture):
+        """fromcat: cat checkpoint warm-starts the dim engine, 8-way head
+        skipped for the fresh 3-dim head (ref …_fromcat.py:342-352)."""
+        cat_engine, _ = _fit(variant_fixture, "fromcat_cat")
+        ckpt = str(variant_fixture / "fromcat_cat" / "pre.pt")
+        cat_engine.save_torch_checkpoint(ckpt)
+
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils.config import load_fusion_config
+
+        cfg = load_fusion_config(str(variant_fixture / "fromcat_cat.json"))
+        dim = FusionEngine(
+            cfg, seed=11, options=EngineOptions(bucket_window=2, task="dim")
+        )
+        dim.init_params()
+        before = np.asarray(
+            jax.tree.map(np.asarray, dim.params)["classifier_fc2"]["kernel"]
+        ).copy()
+        dim.load_torch_checkpoint_filtered(ckpt)
+        host = jax.tree.map(np.asarray, dim.params)
+        cat_host = jax.tree.map(np.asarray, cat_engine.params)
+        # shared trunk adopted from the cat checkpoint
+        np.testing.assert_allclose(
+            host["speech_encoder"]["projection"]["kernel"],
+            cat_host["speech_encoder"]["projection"]["kernel"], rtol=1e-6,
+        )
+        # mismatched head kept at its fresh init (8-way vs 3-dim)
+        np.testing.assert_array_equal(host["classifier_fc2"]["kernel"], before)
+
+    def test_strict_load_still_raises_on_mismatch(self, variant_fixture):
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils.config import load_fusion_config
+
+        cfg = load_fusion_config(str(variant_fixture / "fromcat_cat.json"))
+        dim = FusionEngine(
+            cfg, seed=11, options=EngineOptions(bucket_window=2, task="dim")
+        )
+        dim.init_params()
+        with pytest.raises(ValueError):
+            dim.load_torch_checkpoint(
+                str(variant_fixture / "fromcat_cat" / "pre.pt")
+            )
+
+
+class TestFiona:
+    def test_gated_pool_trains_and_roundtrips(self, variant_fixture):
+        """fiona: gated pooled reps + 8-head attn + always-on CKA; the
+        checkpoint roundtrips through the torch naming contract incl. gates."""
+        engine, best = _fit(
+            variant_fixture, "fiona", gated_pool=True, attention_heads=4,
+            cka_weight=1.0, focal_dynamic_alpha=True,
+        )
+        assert best["macro_f1"] > 0.2
+        ckpt = str(variant_fixture / "fiona" / "m.pt")
+        engine.save_torch_checkpoint(ckpt)
+        sd = torch.load(ckpt, weights_only=True)
+        assert "speech_gate.weight" in sd and "text_gate.weight" in sd
+        # reload through the converter and match params exactly
+        from interspeech_ser_tpu.models.convert_fusion import torch_to_flax
+        loaded = torch_to_flax({k: v.numpy() for k, v in sd.items()}, 2)
+        host = jax.tree.map(np.asarray, engine.params)
+        np.testing.assert_allclose(
+            loaded["speech_gate"]["kernel"], host["speech_gate"]["kernel"], rtol=1e-6
+        )
+
+
+class TestGenderSVM:
+    def test_svm_ranking_loss_values(self):
+        from interspeech_ser_tpu.train.losses import svm_ranking_loss
+
+        logits = jnp.asarray([[0.0, 2.0], [3.0, 0.5]])  # (female, male)
+        y = jnp.asarray([1, 0])
+        # t=+1: clamp(1 - (2-0)) = 0 ; t=-1: clamp(1 + (0.5-3)) = 0
+        assert float(svm_ranking_loss(logits, y)) == 0.0
+        y2 = jnp.asarray([0, 1])
+        # t=-1: clamp(1 + 2) = 3 ; t=+1: clamp(1 - (0.5-3)) = 3.5
+        np.testing.assert_allclose(float(svm_ranking_loss(logits, y2)), 3.25)
+
+    def test_gender_svm_variant_trains(self, variant_fixture):
+        engine, best = _fit(
+            variant_fixture, "gsvm", gender_mode="svm", attention_heads=4,
+            modality_norm=False, focal_dynamic_alpha=True,
+        )
+        # no post-projection LayerNorm params in this variant
+        host = jax.tree.map(np.asarray, engine.params)
+        assert "norm" not in host["speech_encoder"]
+        assert "gender_classifier" in host
