@@ -81,3 +81,36 @@ class TestDecoderParity:
             greedy_decode(dec, params, jnp.asarray(enc), prompt, eot, max_new)
         )
         np.testing.assert_array_equal(ours, tokens.numpy())
+
+
+class TestCachedGreedy:
+    def test_cached_matches_recompute_path(self):
+        from interspeech_ser_tpu.models.whisper_decoder import greedy_decode_cached
+
+        hf_cfg, model, cfg, dec, params = _build()
+        B, S = 2, 12
+        enc = RNG.normal(size=(B, S, 32)).astype(np.float32)
+        prompt = np.asarray([hf_cfg.decoder_start_token_id, 5], np.int64)
+        eot = 3
+        ref = np.asarray(
+            greedy_decode(dec, params, jnp.asarray(enc), prompt, eot, 8)
+        )
+        ours = np.asarray(
+            greedy_decode_cached(dec, params, jnp.asarray(enc), prompt, eot, 8)
+        )
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_cached_with_suppression(self):
+        from interspeech_ser_tpu.models.whisper_decoder import greedy_decode_cached
+
+        hf_cfg, model, cfg, dec, params = _build()
+        enc = RNG.normal(size=(1, 10, 32)).astype(np.float32)
+        prompt = np.asarray([hf_cfg.decoder_start_token_id], np.int64)
+        sup = np.arange(10, 60)
+        ref = np.asarray(
+            greedy_decode(dec, params, jnp.asarray(enc), prompt, 3, 6, suppress_ids=sup)
+        )
+        ours = np.asarray(
+            greedy_decode_cached(dec, params, jnp.asarray(enc), prompt, 3, 6, suppress_ids=sup)
+        )
+        np.testing.assert_array_equal(ours, ref)
