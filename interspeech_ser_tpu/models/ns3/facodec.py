@@ -341,13 +341,24 @@ class ProsodyExtractor:
     unbatched runs). ``extract_batched`` is the pipeline path: host
     reflect-padded mel input + frame masks + batch-1 PE semantics, which
     reproduces the reference's per-utterance extraction inside a padded
-    batch (speaker-variant caveat: the alias-free conv stack's replicate
-    padding sits at the bucket edge, so the last ~3 frames of the timbre
-    branch can deviate; the prosody branch is exact).
+    batch. The prosody branch is exact; the speaker variant's conv stack
+    sees the bucket's zero padding at each utterance's tail (the
+    alias-free resample replicate-pads the bucket edge, not the utterance
+    edge), so a second right-aligned tail window re-runs the stack with
+    the TRUE utterance end at the tensor edge and the last ``FIX_FRAMES``
+    valid frames are overwritten with its exact values
+    (``tail_exact=True``; utterances shorter than ``TAIL_WINDOW_FRAMES``
+    keep the documented ~3-frame approximation).
     """
 
     params: Dict
     with_speaker: bool = False
+    tail_exact: bool = True
+    # window ≥ overwrite zone + conv-stack receptive field (~43 frames);
+    # both multiples of anything ≥ the deviation zone work — validated
+    # empirically in tests/test_ns3_facodec.py
+    TAIL_WINDOW_FRAMES = 96
+    FIX_FRAMES = 48
 
     def __post_init__(self):
         self._mel_encoder = NS3TransformerEncoder()
@@ -389,11 +400,38 @@ class ProsodyExtractor:
         if not self.with_speaker:
             return out
         enc = self._enc_model.apply({"params": self.params["encoder"]}, wav)
+        if self.tail_exact:
+            enc = self._fix_tail(wav, enc, frame_mask)
         enc = enc * frame_mask[:, :, None]
         timbre = self._mel_encoder_b1.apply(
             {"params": self.params["timbre_encoder"]}, enc, key_mask=frame_mask
         )
         return jnp.concatenate([out, timbre], axis=-1)
+
+    def _fix_tail(self, wav, enc, frame_mask):
+        """Overwrite each utterance's last FIX_FRAMES conv features with an
+        exact re-run on a right-aligned tail window (true end at the tensor
+        edge, so every replicate pad acts on the real last samples)."""
+        R = self.TAIL_WINDOW_FRAMES
+        FIX = self.FIX_FRAMES
+        B, Lb = wav.shape
+        T = enc.shape[1]
+        t_valid = frame_mask.sum(axis=1).astype(jnp.int32)  # [B] frames
+        length = t_valid * 200
+        pos = jnp.arange(R * 200)[None, :]
+        src = length[:, None] - R * 200 + pos
+        tail = jnp.take_along_axis(wav, jnp.clip(src, 0, Lb - 1), axis=1)
+        tail = tail * (src >= 0)
+        enc_tail = self._enc_model.apply({"params": self.params["encoder"]}, tail)
+        t = jnp.arange(T)[None, :]
+        tail_idx = jnp.clip(t - t_valid[:, None] + R, 0, R - 1)
+        gathered = jnp.take_along_axis(enc_tail, tail_idx[:, :, None], axis=1)
+        fix = (
+            (t >= t_valid[:, None] - FIX)
+            & (t < t_valid[:, None])
+            & (t_valid[:, None] >= R)
+        )
+        return jnp.where(fix[:, :, None], gathered, enc)
 
     def codes(self, wav: jnp.ndarray) -> jnp.ndarray:
         """Prosody VQ code indices (the …_prosodycodes legacy variant)."""

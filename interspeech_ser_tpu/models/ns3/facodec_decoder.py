@@ -1,0 +1,722 @@
+"""FACodec full decoder / redecoder (NaturalSpeech3) on TPU.
+
+Completes the codec beyond the prosody-extraction path in ``facodec.py``:
+the three ResidualVQ banks (prosody / content / residual) with
+training-time quantizer dropout, the HiFiGAN-like upsampling decoder with
+style (timbre) conditioning, the GRL-guarded f0/phone predictors, and the
+``FACodecRedecoder`` that re-synthesizes audio from codes under a new
+speaker embedding.
+
+Reference: src/ns3/facodec.py:281-764 (FACodecDecoder: quantize L404-441,
+forward L443-547, vq2emb L549-561, inference L563-573; DecoderBlock
+L214-237; CNNLSTM L30-49; FACodecRedecoder L597-764) and
+src/ns3/quantize/{fvq.py,rvq.py} (FactorizedVectorQuantize, ResidualVQ —
+SoundStream alg. 1 with linear/exp quantizer dropout);
+src/ns3/transformer.py:8-27 (StyleAdaptiveLayerNorm).
+
+Layout: features-last [B, T, C] throughout (the torch original is
+channels-first); converters transpose. All shapes static; the per-sample
+quantizer-dropout mask is computed with jax PRNG so the training path
+stays jit-compatible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .facodec import (
+    NS3TransformerEncoder,
+    SnakeAct1d,
+    _ResidualUnit,
+    fvq_forward,
+)
+
+
+# ---------------------------------------------------------------------------
+# Factorized VQ (training path) + ResidualVQ bank
+# ---------------------------------------------------------------------------
+
+
+class FactorizedVQ(nn.Module):
+    """One FVQ stage: in_proj → L2-normalized codebook lookup → out_proj.
+
+    Inference matches ``fvq_forward``; training adds the straight-through
+    estimator and the commitment + codebook MSE losses
+    (reference fvq.py:59-71).
+    """
+
+    input_dim: int
+    codebook_dim: int = 8
+    codebook_size: int = 1024
+    commitment: float = 0.005
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        """z: [B, T, D] residual latents → (z_q [B,T,D], idx [B,T], loss [B])."""
+        in_k = self.param(
+            "in_kernel", nn.initializers.lecun_normal(),
+            (self.input_dim, self.codebook_dim),
+        )
+        in_b = self.param("in_bias", nn.initializers.zeros, (self.codebook_dim,))
+        out_k = self.param(
+            "out_kernel", nn.initializers.lecun_normal(),
+            (self.codebook_dim, self.input_dim),
+        )
+        out_b = self.param("out_bias", nn.initializers.zeros, (self.input_dim,))
+        codebook = self.param(
+            "codebook", nn.initializers.normal(1.0),
+            (self.codebook_size, self.codebook_dim),
+        )
+        if not train:
+            z_q, idx = fvq_forward(z, in_k, in_b, out_k, out_b, codebook)
+            return z_q, idx, jnp.zeros((z.shape[0],), jnp.float32)
+
+        z_e = z @ in_k + in_b  # [B, T, d] projected latents
+        e = z_e / jnp.maximum(jnp.linalg.norm(z_e, axis=-1, keepdims=True), 1e-12)
+        c = codebook / jnp.maximum(
+            jnp.linalg.norm(codebook, axis=-1, keepdims=True), 1e-12
+        )
+        dist = (
+            jnp.sum(e * e, -1, keepdims=True)
+            - 2 * e @ c.T
+            + jnp.sum(c * c, -1)[None, None, :]
+        )
+        idx = jnp.argmax(-dist, axis=-1)
+        z_qc = codebook[idx]  # [B, T, d] un-normalized code vectors
+        # per-sample commitment + codebook loss over the low-dim space
+        # (reference fvq.py:59-67: mean over (T, d) per batch row)
+        commit = jnp.mean(
+            jnp.square(z_e - jax.lax.stop_gradient(z_qc)), axis=(1, 2)
+        ) * self.commitment
+        codebook_l = jnp.mean(
+            jnp.square(z_qc - jax.lax.stop_gradient(z_e)), axis=(1, 2)
+        )
+        loss = commit + codebook_l
+        # straight-through estimator
+        z_qc = z_e + jax.lax.stop_gradient(z_qc - z_e)
+        return z_qc @ out_k + out_b, idx, loss
+
+    def embed_codes(self, params, codes):
+        """codes [B, T] → out-projected vectors [B, T, D] (vq2emb)."""
+        emb = params["codebook"][codes]
+        return emb @ params["out_kernel"] + params["out_bias"]
+
+
+class ResidualVQBank(nn.Module):
+    """SoundStream Algorithm 1 over FVQ stages (reference rvq.py:22-68).
+
+    Training applies per-sample quantizer dropout: the first
+    ``round(B*quantizer_dropout)`` rows use a random number of quantizers
+    (uniform 1..n for 'linear'; powers of two for 'exp').
+    """
+
+    num_quantizers: int
+    input_dim: int
+    codebook_dim: int = 8
+    codebook_size: int = 1024
+    commitment: float = 0.005
+    quantizer_dropout: float = 0.0
+    dropout_type: str = "linear"
+
+    def setup(self):
+        self.layers = [
+            FactorizedVQ(
+                self.input_dim, self.codebook_dim, self.codebook_size,
+                self.commitment, name=f"vq{i}",
+            )
+            for i in range(self.num_quantizers)
+        ]
+
+    def __call__(self, x, n_quantizers: Optional[int] = None, train: bool = False,
+                 rng: Optional[jax.Array] = None):
+        """→ (quantized_out [B,T,D], codes [n_q,B,T], losses [n_q,B? → n_q],
+        per_stage_quantized [n_q,B,T,D])."""
+        B = x.shape[0]
+        if train:
+            nq = jnp.full((B,), self.num_quantizers + 1, jnp.float32)
+            if self.quantizer_dropout > 0:
+                assert rng is not None
+                if self.dropout_type == "exp":
+                    hi = max(int(math.log2(self.num_quantizers)), 2)
+                    drop = 2 ** jax.random.randint(rng, (B,), 1, hi)
+                else:
+                    drop = jax.random.randint(
+                        rng, (B,), 1, self.num_quantizers + 1
+                    )
+                n_drop = int(B * self.quantizer_dropout)
+                nq = nq.at[:n_drop].set(drop[:n_drop].astype(jnp.float32))
+        else:
+            nq = jnp.full(
+                (B,),
+                self.num_quantizers if n_quantizers is None else n_quantizers,
+                jnp.float32,
+            )
+
+        quantized_out = jnp.zeros_like(x)
+        residual = x
+        codes, losses, quantized_each = [], [], []
+        for idx, layer in enumerate(self.layers):
+            q, code, loss = layer(residual, train=train)
+            mask = (idx < nq).astype(x.dtype)  # [B]
+            residual = residual - q
+            quantized_out = quantized_out + q * mask[:, None, None]
+            losses.append(jnp.mean(loss * mask))
+            codes.append(code)
+            quantized_each.append(q)
+        return (
+            quantized_out,
+            jnp.stack(codes),
+            jnp.stack(losses),
+            jnp.stack(quantized_each),
+        )
+
+    def vq2emb(self, params, codes):
+        """codes [n_q, B, T] → summed embeddings [B, T, D]."""
+        out = 0.0
+        for i, layer in enumerate(self.layers):
+            out = out + layer.embed_codes(params[f"vq{i}"], codes[i])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# HiFiGAN-like upsampling decoder
+# ---------------------------------------------------------------------------
+
+
+def conv_transpose1d_torch(x, w, b, stride, padding, output_padding):
+    """torch ``ConvTranspose1d`` on [B, T, C_in]; w is torch layout
+    [C_in, C_out, k]."""
+    k = w.shape[-1]
+    kernel = jnp.flip(w, axis=-1).transpose(2, 0, 1)  # [k, C_in, C_out]
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
+        lhs_dilation=(stride,), dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + b[None, None, :]
+
+
+class _DecoderBlock(nn.Module):
+    """SnakeBeta act → WN ConvTranspose(2s, stride s) → 3 residual units
+    (reference facodec.py:214-237). Output length = T·s exactly."""
+
+    input_dim: int
+    output_dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        h = SnakeAct1d(self.input_dim, name="act")(x)
+        w = self.param(
+            "up_kernel", nn.initializers.lecun_normal(),
+            (self.input_dim, self.output_dim, 2 * s),
+        )
+        b = self.param("up_bias", nn.initializers.zeros, (self.output_dim,))
+        h = conv_transpose1d_torch(h, w, b, s, s // 2 + s % 2, s % 2)
+        h = _ResidualUnit(self.output_dim, 1, name="res1")(h)
+        h = _ResidualUnit(self.output_dim, 3, name="res2")(h)
+        return _ResidualUnit(self.output_dim, 9, name="res3")(h)
+
+
+class HiFiGANDecoder(nn.Module):
+    """in conv → 4 upsampling DecoderBlocks → act → out conv → tanh.
+
+    hop = prod(up_ratios) = 200: [B, T, in_channels] → wav [B, T*200]."""
+
+    in_channels: int = 256
+    upsample_initial_channel: int = 1536
+    up_ratios: Tuple[int, ...] = (5, 5, 4, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.upsample_initial_channel
+        h = nn.Conv(ch, (7,), padding=[(3, 3)], name="conv_in")(x)
+        for i, s in enumerate(self.up_ratios):
+            h = _DecoderBlock(ch // 2 ** i, ch // 2 ** (i + 1), s, name=f"up{i}")(h)
+        out_dim = ch // 2 ** len(self.up_ratios)
+        h = SnakeAct1d(out_dim, name="act_out")(h)
+        h = nn.Conv(1, (7,), padding=[(3, 3)], name="conv_out")(h)
+        return jnp.tanh(h)[:, :, 0]
+
+
+class CNNLSTMHead(nn.Module):
+    """3 residual units (dilations 1,2,3) + Snake act + linear head(s)
+    (reference facodec.py:30-49; despite the name there is no LSTM)."""
+
+    indim: int
+    outdim: int
+    heads: int
+    global_pred: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, C]
+        h = _ResidualUnit(self.indim, 1, name="res1")(x)
+        h = _ResidualUnit(self.indim, 2, name="res2")(h)
+        h = _ResidualUnit(self.indim, 3, name="res3")(h)
+        h = SnakeAct1d(self.indim, name="act")(h)
+        if self.global_pred:
+            h = jnp.mean(h, axis=1)
+        return [
+            nn.Dense(self.outdim, name=f"head{i}")(h) for i in range(self.heads)
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Full decoder
+# ---------------------------------------------------------------------------
+
+
+def style_condition(x, speaker_embedding, gamma_beta):
+    """timbre_norm (no-affine LN) then per-channel style scale/shift
+    (reference facodec.py:536-541)."""
+    m = x.astype(jnp.float32)
+    mu = m.mean(-1, keepdims=True)
+    var = m.var(-1, keepdims=True)
+    normed = (m - mu) * jax.lax.rsqrt(var + 1e-5)
+    gamma, beta = gamma_beta  # each [B, C]
+    return normed * gamma[:, None, :] + beta[:, None, :]
+
+
+class FACodecDecoderFull(nn.Module):
+    """FACodec decoder: 3 RVQ banks + timbre encoder + styled HiFiGAN.
+
+    ``quantize``: x [B, T, 256] → (quantized_out, codes [6,B,T], losses,
+    per-bank quantized) with the residual bank fed x − stop_grad(q_p + q_c)
+    (reference facodec.py:404-441).
+    ``decode``: per-bank quantized + speaker embedding → wav
+    (reference facodec.py:505-547 with the random residual mask off).
+    """
+
+    in_channels: int = 256
+    upsample_initial_channel: int = 1536
+    up_ratios: Tuple[int, ...] = (5, 5, 4, 2)
+    vq_num_q_p: int = 1
+    vq_num_q_c: int = 2
+    vq_num_q_r: int = 3
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    quantizer_dropout: float = 0.0
+    dropout_type: str = "linear"
+    with_predictors: bool = False
+
+    def setup(self):
+        mk = lambda n, name: ResidualVQBank(
+            n, self.in_channels, self.codebook_dim, self.codebook_size,
+            quantizer_dropout=self.quantizer_dropout,
+            dropout_type=self.dropout_type, name=name,
+        )
+        self.prosody_vq = mk(self.vq_num_q_p, "prosody_vq")
+        self.content_vq = mk(self.vq_num_q_c, "content_vq")
+        self.residual_vq = mk(self.vq_num_q_r, "residual_vq")
+        self.timbre_encoder = NS3TransformerEncoder(
+            hidden=self.in_channels, heads=4, layers=4, filter_size=1024,
+            kernel_size=5, pe_batch1=False, name="timbre_encoder",
+        )
+        self.timbre_linear = nn.Dense(
+            self.in_channels * 2,
+            bias_init=lambda key, shape, dtype: jnp.concatenate(
+                [jnp.ones(shape[0] // 2, dtype), jnp.zeros(shape[0] // 2, dtype)]
+            ),
+            name="timbre_linear",
+        )
+        self.model = HiFiGANDecoder(
+            self.in_channels, self.upsample_initial_channel, self.up_ratios,
+            name="model",
+        )
+        if self.with_predictors:
+            self.f0_predictor = CNNLSTMHead(self.in_channels, 1, 2, name="f0_predictor")
+            self.phone_predictor = CNNLSTMHead(
+                self.in_channels, 5003, 1, name="phone_predictor"
+            )
+
+    def quantize(self, x, n_quantizers=None, train: bool = False, rng=None):
+        rngs = (None, None, None)
+        if rng is not None:
+            rngs = jax.random.split(rng, 3)
+        qp, cp, lp, _ = self.prosody_vq(x, n_quantizers, train, rngs[0])
+        qc, cc, lc, _ = self.content_vq(x, n_quantizers, train, rngs[1])
+        resid_in = x - jax.lax.stop_gradient(qp + qc)
+        qr, cr, lr, _ = self.residual_vq(resid_in, n_quantizers, train, rngs[2])
+        codes = jnp.concatenate([cp, cc, cr], axis=0)  # [6, B, T]
+        losses = jnp.concatenate([lp, lc, lr], axis=0)
+        return (qp, qc, qr), codes, losses
+
+    def speaker_embedding(self, x):
+        """x [B, T, 256] → timbre-encoder mean-pooled speaker embedding."""
+        return jnp.mean(self.timbre_encoder(x), axis=1)
+
+    def decode(self, quantized: Sequence[jnp.ndarray], speaker_embedding,
+               use_residual: bool = True):
+        x = quantized[0] + quantized[1]
+        if use_residual and len(quantized) > 2:
+            x = x + quantized[2]
+        style = self.timbre_linear(speaker_embedding)  # [B, 2C]
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        h = style_condition(x, speaker_embedding, (gamma, beta))
+        return self.model(h)
+
+    def predict(self, quantized: Sequence[jnp.ndarray]):
+        """GRL-guarded auxiliary predictions (reference facodec.py:493-503)."""
+        assert self.with_predictors
+        f0, uv = self.f0_predictor(quantized[0])
+        (phone,) = self.phone_predictor(quantized[1])
+        return {"f0": f0[..., 0], "uv": uv[..., 0], "phone": phone}
+
+    def __call__(self, x, speaker_embedding=None, n_quantizers=None,
+                 train: bool = False, rng=None):
+        """Full autoencoding pass: quantize → (optionally derive speaker
+        embedding from x) → decode. Returns (wav, codes, vq_losses)."""
+        quantized, codes, losses = self.quantize(x, n_quantizers, train, rng)
+        if speaker_embedding is None:
+            speaker_embedding = self.speaker_embedding(x)
+        wav = self.decode(quantized, speaker_embedding)
+        if self.with_predictors:
+            # reference training computes the GRL-guarded aux predictions in
+            # the same pass (facodec.py:493-503); also ensures their params
+            # exist at init time
+            return wav, codes, losses, self.predict(quantized)
+        return wav, codes, losses
+
+    def codes_to_wav(self, params, codes, speaker_embedding,
+                     use_residual: bool = True):
+        """vq2emb + decode: codes [6, B, T] → wav (reference vq2emb L549-561
+        + inference L563-573)."""
+        p, c = self.vq_num_q_p, self.vq_num_q_c
+        qp = self.prosody_vq.vq2emb(params["prosody_vq"], codes[:p])
+        qc = self.content_vq.vq2emb(params["content_vq"], codes[p : p + c])
+        quantized = [qp, qc]
+        if use_residual and self.vq_num_q_r > 0:
+            quantized.append(
+                self.residual_vq.vq2emb(params["residual_vq"], codes[p + c :])
+            )
+        return self.decode(quantized, speaker_embedding, use_residual)
+
+
+# ---------------------------------------------------------------------------
+# Redecoder
+# ---------------------------------------------------------------------------
+
+
+class StyleNS3Layer(nn.Module):
+    """NS3 transformer layer with style-adaptive LayerNorms (use_cln=True;
+    reference transformer.py:8-27,81-146)."""
+
+    hidden: int
+    heads: int
+    filter_size: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x, cond):
+        from ...ops.attention import TorchMultiheadAttention
+
+        def saln(name, h, cond):
+            m = h.astype(jnp.float32)
+            mu = m.mean(-1, keepdims=True)
+            var = m.var(-1, keepdims=True)
+            normed = (m - mu) * jax.lax.rsqrt(var + 1e-5)
+            style = nn.Dense(
+                2 * self.hidden,
+                bias_init=lambda key, shape, dtype: jnp.concatenate(
+                    [jnp.ones(shape[0] // 2, dtype), jnp.zeros(shape[0] // 2, dtype)]
+                ),
+                name=f"{name}_style",
+            )(jnp.mean(cond, axis=1, keepdims=True))
+            gamma, beta = jnp.split(style, 2, axis=-1)
+            return gamma * normed + beta
+
+        h = saln("ln_1", x, cond)
+        h = TorchMultiheadAttention(self.hidden, self.heads, name="self_attn")(
+            h, h, h
+        )
+        x = x + h
+        h = saln("ln_2", x, cond)
+        h = nn.Conv(
+            self.filter_size, (self.kernel_size,),
+            padding=[(self.kernel_size // 2,) * 2], name="ffn_1",
+        )(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden, name="ffn_2")(h)
+        return x + h
+
+
+class StyleNS3Encoder(nn.Module):
+    """4-layer CLN transformer used by the redecoder's prosody branch."""
+
+    hidden: int = 256
+    heads: int = 4
+    layers: int = 4
+    filter_size: int = 1024
+    kernel_size: int = 5
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, cond):
+        from .facodec import _ns3_positional_table
+
+        pe = jnp.asarray(_ns3_positional_table(self.max_len, self.hidden))
+        B = x.shape[0]
+        # same PE quirk as the base encoder (row b gets pe[b])
+        x = x + pe[:B][:, None, :]
+        for i in range(self.layers):
+            x = StyleNS3Layer(
+                self.hidden, self.heads, self.filter_size, self.kernel_size,
+                name=f"layer{i}",
+            )(x, cond)
+        # final SALN (use_cln=True replaces the last LayerNorm too)
+        m = x.astype(jnp.float32)
+        mu = m.mean(-1, keepdims=True)
+        var = m.var(-1, keepdims=True)
+        normed = (m - mu) * jax.lax.rsqrt(var + 1e-5)
+        style = nn.Dense(
+            2 * self.hidden,
+            bias_init=lambda key, shape, dtype: jnp.concatenate(
+                [jnp.ones(shape[0] // 2, dtype), jnp.zeros(shape[0] // 2, dtype)]
+            ),
+            name="last_ln_style",
+        )(jnp.mean(cond, axis=1, keepdims=True))
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        return gamma * normed + beta
+
+
+class FACodecRedecoder(nn.Module):
+    """Audio re-synthesis from codes under a swapped speaker embedding
+    (reference facodec.py:597-764): per-quantizer code embeddings (std
+    1e-5 init), a CLN prosody encoder conditioned on the new speaker, and
+    a narrower (1280-channel) styled HiFiGAN."""
+
+    in_channels: int = 256
+    upsample_initial_channel: int = 1280
+    up_ratios: Tuple[int, ...] = (5, 5, 4, 2)
+    vq_num_q_p: int = 1
+    vq_num_q_c: int = 2
+    vq_num_q_r: int = 3
+    codebook_size: int = 1024
+
+    @nn.compact
+    def __call__(self, codes, speaker_embedding, use_residual: bool = False):
+        """codes [6, B, T] int32 + speaker [B, 256] → wav [B, T*200]."""
+        C = self.in_channels
+
+        def embs(name, n):
+            return [
+                self.param(
+                    f"{name}_emb{i}", nn.initializers.normal(1e-5),
+                    (self.codebook_size, C),
+                )
+                for i in range(n)
+            ]
+
+        p_embs = embs("prosody", self.vq_num_q_p)
+        c_embs = embs("content", self.vq_num_q_c)
+        r_embs = embs("residual", self.vq_num_q_r)
+
+        x_p = 0.0
+        for i in range(self.vq_num_q_p):
+            x_p = x_p + p_embs[i][codes[i]]
+        cond = jnp.broadcast_to(
+            speaker_embedding[:, None, :], x_p.shape
+        )
+        x_p = StyleNS3Encoder(hidden=C, name="timbre_cond_prosody_enc")(x_p, cond)
+        x = x_p
+        for i in range(self.vq_num_q_c):
+            x = x + c_embs[i][codes[self.vq_num_q_p + i]]
+        if use_residual:
+            for i in range(self.vq_num_q_r):
+                x = x + r_embs[i][codes[self.vq_num_q_p + self.vq_num_q_c + i]]
+
+        style = nn.Dense(
+            2 * C,
+            bias_init=lambda key, shape, dtype: jnp.concatenate(
+                [jnp.ones(shape[0] // 2, dtype), jnp.zeros(shape[0] // 2, dtype)]
+            ),
+            name="timbre_linear",
+        )(speaker_embedding)
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        h = style_condition(x, speaker_embedding, (gamma, beta))
+        return HiFiGANDecoder(
+            C, self.upsample_initial_channel, self.up_ratios, name="model"
+        )(h)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint converters (torch → flax)
+# ---------------------------------------------------------------------------
+
+from .facodec import _fold_wn_conv, _fold_wn_linear, _ns3_transformer_params, _set
+
+
+def _fold_wn_convtranspose(sd: Dict, prefix: str) -> Tuple[np.ndarray, np.ndarray]:
+    """torch weight_norm ConvTranspose1d (dim=0): weight [in, out, k],
+    g [in, 1, 1]. Returns the torch-layout folded kernel (what
+    ``conv_transpose1d_torch`` consumes)."""
+    for g_name, v_name in (
+        (f"{prefix}.weight_g", f"{prefix}.weight_v"),
+        (f"{prefix}.parametrizations.weight.original0",
+         f"{prefix}.parametrizations.weight.original1"),
+    ):
+        if g_name in sd:
+            g = np.asarray(sd[g_name])
+            v = np.asarray(sd[v_name])
+            norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+            w = g * v / np.maximum(norm, 1e-12)
+            return w, np.asarray(sd[f"{prefix}.bias"])
+    return np.asarray(sd[f"{prefix}.weight"]), np.asarray(sd[f"{prefix}.bias"])
+
+
+def _rvq_bank_params(sd: Dict, prefix: str, num_q: int) -> Dict:
+    bank: Dict = {}
+    for i in range(num_q):
+        base = f"{prefix}.layers.{i}"
+        in_k, in_b = _fold_wn_linear(sd, f"{base}.in_proj")
+        out_k, out_b = _fold_wn_linear(sd, f"{base}.out_proj")
+        bank[f"vq{i}"] = {
+            "in_kernel": in_k, "in_bias": in_b,
+            "out_kernel": out_k, "out_bias": out_b,
+            "codebook": np.asarray(sd[f"{base}._codebook.weight"]),
+        }
+    return bank
+
+
+def _resunit_params(p: Dict, sd: Dict, dst, prefix: str):
+    _set(p, dst + ("act1", "alpha"), np.asarray(sd[f"{prefix}.block.0.act.alpha"]))
+    _set(p, dst + ("act1", "beta"), np.asarray(sd[f"{prefix}.block.0.act.beta"]))
+    k, b = _fold_wn_conv(sd, f"{prefix}.block.1")
+    _set(p, dst + ("conv1", "kernel"), k)
+    _set(p, dst + ("conv1", "bias"), b)
+    _set(p, dst + ("act2", "alpha"), np.asarray(sd[f"{prefix}.block.2.act.alpha"]))
+    _set(p, dst + ("act2", "beta"), np.asarray(sd[f"{prefix}.block.2.act.beta"]))
+    k, b = _fold_wn_conv(sd, f"{prefix}.block.3")
+    _set(p, dst + ("conv2", "kernel"), k)
+    _set(p, dst + ("conv2", "bias"), b)
+
+
+def _hifigan_params(sd: Dict, prefix: str, up_ratios) -> Dict:
+    p: Dict = {}
+    k, b = _fold_wn_conv(sd, f"{prefix}.0")
+    p["conv_in"] = {"kernel": k, "bias": b}
+    for i in range(len(up_ratios)):
+        base = f"{prefix}.{i + 1}.block"
+        dst = (f"up{i}",)
+        _set(p, dst + ("act", "alpha"), np.asarray(sd[f"{base}.0.act.alpha"]))
+        _set(p, dst + ("act", "beta"), np.asarray(sd[f"{base}.0.act.beta"]))
+        w, bias = _fold_wn_convtranspose(sd, f"{base}.1")
+        _set(p, dst + ("up_kernel",), w)
+        _set(p, dst + ("up_bias",), bias)
+        for j, name in enumerate(("res1", "res2", "res3")):
+            _resunit_params(p, sd, dst + (name,), f"{base}.{j + 2}")
+    n = len(up_ratios)
+    p["act_out"] = {
+        "alpha": np.asarray(sd[f"{prefix}.{n + 1}.act.alpha"]),
+        "beta": np.asarray(sd[f"{prefix}.{n + 1}.act.beta"]),
+    }
+    k, b = _fold_wn_conv(sd, f"{prefix}.{n + 2}")
+    p["conv_out"] = {"kernel": k, "bias": b}
+    return p
+
+
+def _cnnlstm_params(sd: Dict, prefix: str, heads: int) -> Dict:
+    p: Dict = {}
+    for j, name in enumerate(("res1", "res2", "res3")):
+        _resunit_params(p, sd, (name,), f"{prefix}.model.{j}")
+    p["act"] = {
+        "alpha": np.asarray(sd[f"{prefix}.model.3.act.alpha"]),
+        "beta": np.asarray(sd[f"{prefix}.model.3.act.beta"]),
+    }
+    for i in range(heads):
+        p[f"head{i}"] = {
+            "kernel": np.asarray(sd[f"{prefix}.heads.{i}.weight"]).T,
+            "bias": np.asarray(sd[f"{prefix}.heads.{i}.bias"]),
+        }
+    return p
+
+
+def ns3_decoder_full_params_from_torch(
+    sd: Dict,
+    up_ratios: Tuple[int, ...] = (5, 5, 4, 2),
+    with_predictors: bool = False,
+) -> Dict:
+    """FACodecDecoder state dict → FACodecDecoderFull params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p: Dict = {
+        "prosody_vq": _rvq_bank_params(sd, "quantizer.0", 1),
+        "content_vq": _rvq_bank_params(sd, "quantizer.1", 2),
+        "residual_vq": _rvq_bank_params(sd, "quantizer.2", 3),
+        "timbre_encoder": _ns3_transformer_params(sd, "timbre_encoder"),
+        "timbre_linear": {
+            "kernel": np.asarray(sd["timbre_linear.weight"]).T,
+            "bias": np.asarray(sd["timbre_linear.bias"]),
+        },
+        "model": _hifigan_params(sd, "model", up_ratios),
+    }
+    if with_predictors:
+        p["f0_predictor"] = _cnnlstm_params(sd, "f0_predictor", 2)
+        p["phone_predictor"] = _cnnlstm_params(sd, "phone_predictor", 1)
+    return p
+
+
+def _style_ns3_params(sd: Dict, prefix: str, layers: int = 4) -> Dict:
+    """CLN (use_cln=True) transformer: SALN styles instead of plain LNs."""
+    p: Dict = {}
+    for i in range(layers):
+        base = f"{prefix}.layers.{i}"
+        p[f"layer{i}"] = {
+            "ln_1_style": {
+                "kernel": np.asarray(sd[f"{base}.ln_1.style.weight"]).T,
+                "bias": np.asarray(sd[f"{base}.ln_1.style.bias"]),
+            },
+            "ln_2_style": {
+                "kernel": np.asarray(sd[f"{base}.ln_2.style.weight"]).T,
+                "bias": np.asarray(sd[f"{base}.ln_2.style.bias"]),
+            },
+            "self_attn": {
+                "in_proj_kernel": np.asarray(sd[f"{base}.self_attn.in_proj_weight"]).T,
+                "in_proj_bias": np.asarray(sd[f"{base}.self_attn.in_proj_bias"]),
+                "out_kernel": np.asarray(sd[f"{base}.self_attn.out_proj.weight"]).T,
+                "out_bias": np.asarray(sd[f"{base}.self_attn.out_proj.bias"]),
+            },
+            "ffn_1": {
+                "kernel": np.transpose(
+                    np.asarray(sd[f"{base}.ffn.ffn_1.weight"]), (2, 1, 0)
+                ),
+                "bias": np.asarray(sd[f"{base}.ffn.ffn_1.bias"]),
+            },
+            "ffn_2": {
+                "kernel": np.asarray(sd[f"{base}.ffn.ffn_2.weight"]).T,
+                "bias": np.asarray(sd[f"{base}.ffn.ffn_2.bias"]),
+            },
+        }
+    p["last_ln_style"] = {
+        "kernel": np.asarray(sd[f"{prefix}.last_ln.style.weight"]).T,
+        "bias": np.asarray(sd[f"{prefix}.last_ln.style.bias"]),
+    }
+    return p
+
+
+def ns3_redecoder_params_from_torch(
+    sd: Dict, up_ratios: Tuple[int, ...] = (5, 5, 4, 2)
+) -> Dict:
+    """FACodecRedecoder state dict → FACodecRedecoder (flax) params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p: Dict = {}
+    for name, src, n in (
+        ("prosody", "prosody_embs", 1),
+        ("content", "content_embs", 2),
+        ("residual", "residual_embs", 3),
+    ):
+        for i in range(n):
+            p[f"{name}_emb{i}"] = np.asarray(sd[f"{src}.{i}.weight"])
+    p["timbre_cond_prosody_enc"] = _style_ns3_params(sd, "timbre_cond_prosody_enc")
+    p["timbre_linear"] = {
+        "kernel": np.asarray(sd["timbre_linear.weight"]).T,
+        "bias": np.asarray(sd["timbre_linear.bias"]),
+    }
+    p["model"] = _hifigan_params(sd, "model", up_ratios)
+    return p

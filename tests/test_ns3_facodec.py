@@ -349,3 +349,66 @@ class TestBatchedEqualsSingle:
             np.testing.assert_allclose(
                 batched[i, : frames[i]], singles[i], atol=3e-4
             )
+
+
+class TestSpeakerTailExact:
+    def test_speaker_batched_tail_matches_single(self):
+        """Speaker-variant extract_batched == per-utterance __call__ on ALL
+        frames (the tail-window correction removes the bucket-edge
+        deviation for utterances >= TAIL_WINDOW_FRAMES)."""
+        import jax
+
+        hidden = 256
+        key = jax.random.PRNGKey(3)
+        mel_enc = ns3.NS3TransformerEncoder()
+        mel_params = mel_enc.init(key, jnp.zeros((1, 8, hidden)))["params"]
+        enc_model = ns3.FACodecEncoderV2Model()
+        enc_params = enc_model.init(key, jnp.zeros((1, 400)))["params"]
+        timbre_params = mel_enc.init(key, jnp.zeros((1, 8, hidden)))["params"]
+        params = {
+            "melspec_linear": {
+                "kernel": RNG.normal(size=(20, hidden)).astype(np.float32) * 0.1,
+                "bias": np.zeros(hidden, np.float32),
+            },
+            "melspec_encoder": mel_params,
+            "fvq": {
+                "in_kernel": RNG.normal(size=(hidden, 8)).astype(np.float32) * 0.1,
+                "in_bias": np.zeros(8, np.float32),
+                "out_kernel": RNG.normal(size=(8, hidden)).astype(np.float32) * 0.1,
+                "out_bias": np.zeros(hidden, np.float32),
+                "codebook": RNG.normal(size=(1024, 8)).astype(np.float32),
+            },
+            "encoder": enc_params,
+            "timbre_encoder": timbre_params,
+        }
+        ex = ns3.ProsodyExtractor(params, with_speaker=True, tail_exact=True)
+        # >= TAIL_WINDOW_FRAMES (96) frames each; different bucket padding
+        lengths = [20000, 21400]
+        padded = [np.pad((RNG.normal(size=l) * 0.1).astype(np.float32),
+                         (0, (200 - l % 200) % 200)) for l in lengths]
+        singles = [np.asarray(ex(jnp.asarray(w[None])))[0] for w in padded]
+
+        Lb = max(len(w) for w in padded)
+        wav = np.zeros((2, Lb), np.float32)
+        refl = np.zeros((2, Lb + 824), np.float32)
+        frames = [len(w) // 200 for w in padded]
+        fmask = np.zeros((2, Lb // 200), np.float32)
+        for i, w in enumerate(padded):
+            wav[i, : len(w)] = w
+            refl[i, : len(w) + 824] = np.pad(w, (412, 412), mode="reflect")
+            fmask[i, : frames[i]] = 1
+        batched = np.asarray(ex.extract_batched(
+            jnp.asarray(wav), jnp.asarray(refl), jnp.asarray(fmask)
+        ))
+        for i in range(2):
+            np.testing.assert_allclose(
+                batched[i, : frames[i]], singles[i], atol=3e-4
+            )
+        # without the correction, the tail frames must actually deviate —
+        # guards against the test passing vacuously
+        ex_off = ns3.ProsodyExtractor(params, with_speaker=True, tail_exact=False)
+        b_off = np.asarray(ex_off.extract_batched(
+            jnp.asarray(wav), jnp.asarray(refl), jnp.asarray(fmask)
+        ))
+        tail_err = np.abs(b_off[0, frames[0] - 3 : frames[0]] - singles[0][-3:]).max()
+        assert tail_err > 3e-4
