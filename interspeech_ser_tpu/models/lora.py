@@ -153,3 +153,77 @@ def lora_from_peft_state_dict(
         ).setdefault("kernel", {})
         node[which] = w
     return lora
+
+
+# ---------------------------------------------------------------------------
+# Non-LoRA parameter-efficient methods (adapter / adapter_l /
+# embedding_prompt / combined — reference lora_wavlm/model.py:37-50).
+# The new params live INSIDE the encoder param tree (models/speech.py
+# Adapter / embed_prompt); these helpers split them out so engines can
+# train only the finetune subset and keep the backbone frozen.
+# ---------------------------------------------------------------------------
+
+FINETUNE_KEYS = ("adapter", "embed_prompt")
+
+
+def split_finetune_params(params: Dict) -> Tuple[Dict, Dict]:
+    """params → (frozen_base, trainable_finetune) by subtree name."""
+    base: Dict = {}
+    tuned: Dict = {}
+
+    def rec(node, b, t):
+        for k, v in node.items():
+            if k in FINETUNE_KEYS:
+                t[k] = v
+            elif isinstance(v, dict):
+                b2: Dict = {}
+                t2: Dict = {}
+                rec(v, b2, t2)
+                b[k] = b2
+                if t2:
+                    t[k] = t2
+            else:
+                b[k] = v
+
+    rec(params, base, tuned)
+    return base, tuned
+
+
+def merge_finetune_params(base: Dict, tuned: Dict) -> Dict:
+    """Inverse of split_finetune_params."""
+    out: Dict = {}
+    for k, v in base.items():
+        if isinstance(v, dict):
+            out[k] = merge_finetune_params(v, tuned.get(k, {}))
+        else:
+            out[k] = v
+    for k, v in tuned.items():
+        if k in FINETUNE_KEYS or k not in out:
+            out[k] = v
+    return out
+
+
+def add_finetune_params(key, model, base_params: Dict, probe_len: int = 1600) -> Dict:
+    """Init a finetune-enabled encoder and graft the pretrained base in.
+
+    ``model`` must be a SpeechEncoderModel whose config sets
+    ``finetune_method``; returns the full param tree (pretrained backbone +
+    freshly-initialized adapter/prompt params).
+    """
+    import jax.numpy as jnp
+
+    fresh = model.init(
+        key, jnp.zeros((1, probe_len), jnp.float32),
+        jnp.ones((1, probe_len), jnp.float32),
+    )["params"]
+
+    def rec(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                rec(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
+    merged = jax.tree.map(lambda x: x, fresh)  # copy structure
+    rec(merged, base_params)  # pretrained weights win where names overlap
+    return merged

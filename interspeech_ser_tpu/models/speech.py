@@ -56,6 +56,18 @@ class SpeechConfig:
     # tanh form's max error (~2e-3) is below bf16 rounding (~8e-3 at |x|≈1),
     # so bf16 mode keeps cosine parity while f32 mode stays bit-exact.
     approx_gelu: Optional[bool] = None
+    # Parameter-efficient finetune hooks (reference lora_wavlm/model.py:37-50:
+    # 'adapter' | 'adapter_l' | 'embedding_prompt' | 'combined'; LoRA rides
+    # the separate param-tree transform in models/lora.py). The reference
+    # repo never defines its ``Adapter`` class (the name is unbound — those
+    # branches crash if selected), so the adapter here follows the IPET
+    # bottleneck design its header cites: down-proj → ReLU → zero-init
+    # up-proj, scaled by ``adapter_scalar`` (output is 0 at init → the
+    # wrapped model starts exactly at the pretrained function).
+    finetune_method: Optional[str] = None
+    adapter_hidden_dim: int = 128
+    adapter_scalar: float = 0.1
+    embedding_prompt_dim: int = 5
 
     @property
     def compute_dtype(self):
@@ -343,6 +355,23 @@ class FeedForward(nn.Module):
         )(h)
 
 
+class Adapter(nn.Module):
+    """IPET-style bottleneck adapter (see SpeechConfig.finetune_method)."""
+
+    hidden_size: int
+    bottleneck: int
+    scalar: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.bottleneck, name="down")(x)
+        h = nn.relu(h)
+        h = nn.Dense(
+            self.hidden_size, kernel_init=nn.initializers.zeros, name="up"
+        )(h)
+        return self.scalar * h
+
+
 class EncoderLayer(nn.Module):
     config: SpeechConfig
     has_relative_position_bias: bool = False
@@ -359,14 +388,58 @@ class EncoderLayer(nn.Module):
         )
         ffn = FeedForward(cfg, name="feed_forward")
         dt = cfg.compute_dtype
+        ft = cfg.finetune_method
+        use_prompt = ft in ("embedding_prompt", "combined")
+        adapter = None
+        if ft in ("adapter", "adapter_l", "combined"):
+            adapter = Adapter(
+                cfg.hidden_size, cfg.adapter_hidden_dim, cfg.adapter_scalar,
+                name="adapter",
+            )
+
+        if use_prompt:
+            # per-layer learned prompt tokens, prepended before attention and
+            # stripped after the layer (reference lora_wavlm/model.py:53-55,79-80)
+            P = cfg.embedding_prompt_dim
+            prompt = self.param(
+                "embed_prompt", nn.initializers.xavier_uniform(),
+                (1, P, cfg.hidden_size), jnp.float32,
+            )
+            B = x.shape[0]
+            x = jnp.concatenate(
+                [jnp.broadcast_to(prompt.astype(x.dtype), (B, P, cfg.hidden_size)), x],
+                axis=1,
+            )
+            if key_mask is not None:
+                key_mask = jnp.concatenate(
+                    [jnp.ones((B, P), key_mask.dtype), key_mask], axis=1
+                )
+
         if cfg.do_stable_layer_norm:  # pre-LN (large/XL checkpoints)
             h, position_bias = attn(ln("layer_norm")(x).astype(dt), key_mask, position_bias)
             x = x + h
+            if ft == "adapter":
+                adapt_h = adapter(x)
             x = x + ffn(ln("final_layer_norm")(x).astype(dt))
-        else:  # post-LN (base checkpoints)
+            if ft == "adapter":
+                x = x + adapt_h
+            if ft in ("adapter_l", "combined"):
+                x = x + adapter(x)
+        else:  # post-LN (base checkpoints; reference layer structure)
             h, position_bias = attn(x, key_mask, position_bias)
-            x = ln("layer_norm")(x + h).astype(dt)
-            x = ln("final_layer_norm")(x + ffn(x)).astype(dt)
+            x_res = x + h
+            if ft == "adapter":
+                adapt_h = adapter(x_res)
+            x = ln("layer_norm")(x_res).astype(dt)
+            x = x + ffn(x)
+            if ft == "adapter":
+                x = x + adapt_h
+            if ft in ("adapter_l", "combined"):
+                x = x + adapter(x)
+            x = ln("final_layer_norm")(x).astype(dt)
+
+        if use_prompt:
+            x = x[:, cfg.embedding_prompt_dim :, :]
         return x, position_bias
 
 

@@ -27,15 +27,36 @@ def build_wavlm_wrapper(
     use_conv_output: bool = True,
     seed: int = 7,
 ):
-    """→ (encoder_model, base_params, lora_tree, head_model, head_params)."""
+    """→ (encoder_model, base_params, tuned_tree, head_model, head_params).
+
+    ``finetune_method``: 'lora' (tuned_tree = LoRA factors on the FFN
+    denses), 'adapter' | 'adapter_l' | 'embedding_prompt' | 'combined'
+    (tuned_tree = the adapter/prompt subtrees split out of the encoder
+    params; merge back with ``lora.merge_finetune_params``). The reference
+    never defines its Adapter class (lora_wavlm/model.py:45 uses an
+    unbound name); see models/speech.py Adapter for the spec used here.
+    """
+    import dataclasses as _dc
+
     model, params, cfg, _ = build_speech_encoder(ssl_type)
     key = jax.random.PRNGKey(seed)
     k_lora, k_head = jax.random.split(key)
-    lora = (
-        lora_lib.init_lora(k_lora, params, lora_lib.match_ffn_dense, lora_rank)
-        if finetune_method == "lora"
-        else {}
-    )
+    lora = {}
+    if finetune_method in ("lora", "combined"):
+        lora = lora_lib.init_lora(
+            k_lora, params, lora_lib.match_ffn_dense, lora_rank
+        )
+    if finetune_method in ("adapter", "adapter_l", "embedding_prompt", "combined"):
+        from interspeech_ser_tpu.models.speech import SpeechEncoderModel
+
+        cfg = _dc.replace(cfg, finetune_method=finetune_method)
+        model = SpeechEncoderModel(cfg)
+        full = lora_lib.add_finetune_params(k_lora, model, params)
+        params, tuned = lora_lib.split_finetune_params(full)
+        if finetune_method == "combined":
+            lora = {"lora": lora, "finetune": tuned}
+        else:
+            lora = tuned
     head = WavLMWrapperModel(
         num_layers=cfg.num_layers,
         hidden_size=cfg.hidden_size,

@@ -166,3 +166,77 @@ class TestLoRAFineTune:
         assert stats.n_utts == 16
         arr = torch.load(os.path.join(save, "u00.pt"), weights_only=True)
         assert arr.shape[-1] == 32
+
+
+class TestNonLoraFinetuneMethods:
+    """adapter / adapter_l / embedding_prompt / combined
+    (reference lora_wavlm/model.py:37-50; Adapter spec in models/speech.py —
+    the reference's own Adapter class is an unbound name)."""
+
+    def _base(self, method):
+        from interspeech_ser_tpu.models import lora as lora_lib
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        cfg = SpeechConfig(
+            hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96,
+            conv_dim=(24,) * 3, conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+            attention_type="wavlm",
+        )
+        base_model = SpeechEncoderModel(cfg)
+        wav = jnp.asarray(RNG.normal(size=(2, 1600)).astype(np.float32))
+        mask = jnp.ones((2, 1600), jnp.float32)
+        base_params = base_model.init(jax.random.PRNGKey(0), wav, mask)["params"]
+
+        import dataclasses
+        ft_cfg = dataclasses.replace(cfg, finetune_method=method,
+                                     adapter_hidden_dim=16,
+                                     embedding_prompt_dim=3)
+        ft_model = SpeechEncoderModel(ft_cfg)
+        full = lora_lib.add_finetune_params(
+            jax.random.PRNGKey(1), ft_model, base_params, probe_len=1600
+        )
+        return base_model, base_params, ft_model, full, wav, mask
+
+    def test_adapter_identity_at_init(self):
+        for method in ("adapter", "adapter_l"):
+            base_model, base_params, ft_model, full, wav, mask = self._base(method)
+            ref = base_model.apply({"params": base_params}, wav, mask)["last_hidden_state"]
+            out = ft_model.apply({"params": full}, wav, mask)["last_hidden_state"]
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-6,
+                err_msg=f"{method} must start at the pretrained function",
+            )
+
+    def test_prompt_changes_output_but_keeps_shape(self):
+        base_model, base_params, ft_model, full, wav, mask = self._base("embedding_prompt")
+        ref = base_model.apply({"params": base_params}, wav, mask)["last_hidden_state"]
+        out = ft_model.apply({"params": full}, wav, mask)["last_hidden_state"]
+        assert out.shape == ref.shape  # prompts stripped per layer
+        assert float(jnp.max(jnp.abs(out - ref))) > 1e-6
+
+    def test_combined_has_prompt_and_adapter(self):
+        _, _, ft_model, full, wav, mask = self._base("combined")
+        assert "adapter" in full["layer0"] and "embed_prompt" in full["layer0"]
+        out = ft_model.apply({"params": full}, wav, mask)["last_hidden_state"]
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_split_merge_roundtrip_and_grads(self):
+        from interspeech_ser_tpu.models import lora as lora_lib
+
+        _, _, ft_model, full, wav, mask = self._base("adapter_l")
+        base, tuned = lora_lib.split_finetune_params(full)
+        assert "adapter" not in base["layer0"]
+        merged = lora_lib.merge_finetune_params(base, tuned)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            full, merged,
+        )
+
+        def loss(tuned):
+            p = lora_lib.merge_finetune_params(base, tuned)
+            out = ft_model.apply({"params": p}, wav, mask)["last_hidden_state"]
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(tuned)
+        gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(gsum) and gsum > 0
