@@ -340,7 +340,16 @@ class ProtoOnlyEngine:
         seed: int = 7,
         bucket_quantum: int = 16,
         has_batch_stats: bool = False,
+        ce_mode: bool = False,
+        val_batch_size: int = 32,
     ):
+        # ce_mode = the base (non-"_only") protoangular trainer
+        # (reference bin/old/train_cat_wavlm_lazy_protoangularloss.py):
+        # train loss = unweighted CE + angle (same class-major regroup),
+        # dev = plain batches scored with val-weighted CE + macro-F1,
+        # model selection min dev CE -> ser.pt.
+        self.ce_mode = ce_mode
+        self.val_batch_size = val_batch_size
         self.net = net
         self.C = num_classes_in_batch
         self.U = num_utter_per_class
@@ -398,12 +407,15 @@ class ProtoOnlyEngine:
 
         C, U, U_val = self.C, self.U, self.U_val
 
-        def train_step(params, extra, opt_state, feats, dkey):
+        def train_step(params, extra, opt_state, feats, y, dkey):
             def loss_fn(p):
                 out, updates = self._embed({"params": p, **extra}, feats, True, dkey)
                 emb = self._emb_of(out)
                 grouped = emb.reshape(C, emb.shape[0] // C, -1)
-                return losses.angle_proto_loss(grouped, 10.0, -5.0), updates
+                loss = losses.angle_proto_loss(grouped, 10.0, -5.0)
+                if self.ce_mode:
+                    loss = loss + losses.weighted_cross_entropy(out[1], y)
+                return loss, updates
 
             (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             new_updates, opt_state = tx.update(grads, opt_state, params)
@@ -426,40 +438,86 @@ class ProtoOnlyEngine:
             )
             last = None
             for idxs in sampler:
-                feats, _ = self._collate(train_ds, list(idxs), U)
+                feats, y = self._collate(train_ds, list(idxs), U)
                 self.key, dkey = jax.random.split(self.key)
                 sig = feats.shape
                 if sig not in train_jit:
                     train_jit[sig] = jax.jit(train_step, donate_argnums=(0, 2))
                 params, opt_state, loss, updates = train_jit[sig](
-                    params, extra, opt_state, jnp.asarray(feats), dkey
+                    params, extra, opt_state, jnp.asarray(feats), jnp.asarray(y), dkey
                 )
                 if updates:
                     extra = dict(updates)
                 last = float(loss)
 
-            val_sampler = PerfectBatchSampler(
-                val_sampler_labels, range(self.C), C * U_val, shuffle=False,
-                drop_last=True,
-            )
-            v_losses = []
-            for idxs in val_sampler:
-                feats, _ = self._collate(val_ds, list(idxs), U_val)
-                sig = feats.shape
-                if sig not in val_jit:
-                    val_jit[sig] = jax.jit(val_step)
-                v_losses.append(float(val_jit[sig](params, extra, jnp.asarray(feats))))
-            v = float(np.mean(v_losses)) if v_losses else float("nan")
-            log(f"epoch {epoch + 1}/{epochs}: train angle={last:.4f} val angle={v:.4f}")
+            if self.ce_mode:
+                v, f1 = self._eval_ce(params, extra, val_ds, val_jit)
+                log(f"epoch {epoch + 1}/{epochs}: train loss={last:.4f} "
+                    f"dev CE={v:.4f} dev f1={f1:.4f}")
+                ckpt_name = "ser.pt"
+            else:
+                val_sampler = PerfectBatchSampler(
+                    val_sampler_labels, range(self.C), C * U_val, shuffle=False,
+                    drop_last=True,
+                )
+                v_losses = []
+                for idxs in val_sampler:
+                    feats, _ = self._collate(val_ds, list(idxs), U_val)
+                    sig = feats.shape
+                    if sig not in val_jit:
+                        val_jit[sig] = jax.jit(val_step)
+                    v_losses.append(float(val_jit[sig](params, extra, jnp.asarray(feats))))
+                v = float(np.mean(v_losses)) if v_losses else float("nan")
+                log(f"epoch {epoch + 1}/{epochs}: train angle={last:.4f} val angle={v:.4f}")
+                ckpt_name = "angle_ser.pt"
             if v < best["val_angle"]:
                 best = {"epoch": epoch, "val_angle": v}
                 self.variables = {"params": params, **extra}
                 if model_path:
                     self.save_torch_checkpoint(
-                        os.path.join(model_path, "angle_ser.pt")
+                        os.path.join(model_path, ckpt_name)
                     )
         self.variables = {"params": params, **extra}
         return best
+
+    def _eval_ce(self, params, extra, val_ds, fwd_jit):
+        from ..utils.metrics import macro_f1
+
+        logits_all, y_all = [], []
+        bs = self.val_batch_size
+        for s0 in range(0, len(val_ds) - len(val_ds) % bs, bs):
+            # plain sequential (un-regrouped) batches, reference val loop
+            idxs = list(range(s0, s0 + bs))
+            feats_list = [val_ds.features(i) for i in idxs]
+            t_max = max(f.shape[0] for f in feats_list)
+            q = self.bucket_quantum
+            t_pad = ((t_max + q - 1) // q) * q
+            fb = np.zeros((bs, t_pad, feats_list[0].shape[1]), np.float32)
+            for i, f in enumerate(feats_list):
+                fb[i, : f.shape[0]] = f
+            y = np.asarray([val_ds.labels[i] for i in idxs], np.int64)
+            sig = ("ce", fb.shape)
+            if sig not in fwd_jit:
+                fwd_jit[sig] = jax.jit(
+                    lambda p, e, x: self._embed({"params": p, **e}, x, False)[0]
+                )
+            out = fwd_jit[sig](params, extra, jnp.asarray(fb))
+            logits_all.append(np.asarray(out[1]))
+            y_all.append(y)
+        logits = np.concatenate(logits_all)
+        y = np.concatenate(y_all)
+        classes, counts = np.unique(y, return_counts=True)
+        n_cls = logits.shape[1]
+        w = np.zeros(n_cls, np.float32)
+        total = len(y)
+        for c, cnt in zip(classes, counts):
+            w[c] = total / (n_cls * cnt)
+        z = logits - logits.max(1, keepdims=True)
+        logp = z - np.log(np.exp(z).sum(1, keepdims=True))
+        nll = -logp[np.arange(len(y)), y]
+        ce = float((nll * w[y]).sum() / w[y].sum())
+        f1 = macro_f1(y, logits.argmax(1), n_cls)
+        return ce, f1
 
     def save_torch_checkpoint(self, path: str):
         """Flat torch state-dict with the reference module names."""
@@ -513,6 +571,11 @@ _PROTO_VARIANTS = {
     "wavlm_only": dict(
         net=lambda cfg: ProtoSERNet(cfg.get("feat1_dim", 1024), 512, 8, 1),
         target="emotion", C=8, U=10, U_val=5, data="lazy",
+    ),
+    # base (non-"_only") variant: CE + angle, dev CE/F1 selection → ser.pt
+    "wavlm_ce": dict(
+        net=lambda cfg: ProtoSERNet(cfg.get("feat1_dim", 1024), 512, 8, 1),
+        target="emotion", C=8, U=10, U_val=5, data="lazy", ce=True,
     ),
     "melspec_only": dict(
         net=lambda cfg: ProtoSERNet(80, 128, 8, 1),
@@ -581,6 +644,8 @@ def proto_main(variant: str, argv=None) -> dict:
     engine = ProtoOnlyEngine(
         spec["net"](cfg), spec["C"], spec["U"], spec["U_val"], seed=args.seed,
         has_batch_stats=spec.get("batch_stats", False),
+        ce_mode=spec.get("ce", False),
+        val_batch_size=int(cfg.get("batch_size", 32)),
     )
     best = engine.fit(
         train_ds, val_ds, epochs=cfg["epochs"], lr=cfg["lr"],

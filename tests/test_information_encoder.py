@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -58,3 +59,71 @@ class TestTimbrePerturb:
         wav = RNG.normal(size=20000).astype(np.float32) * 0.1
         out = sliced_timbre_perturb(wav, 16000, segment_size=8000, rng=rng)
         assert abs(len(out) - len(wav)) <= 1
+
+
+class TestFormantShiftFidelity:
+    """Quantify the DSP approximation (the in-image substitute for Praat's
+    'Change gender'; reference benchmark/utils/dataset/dataset.py:37-85).
+    Praat itself is absent from this image, so the bound here is against
+    the OPERATION'S DEFINITION: formant (spectral-envelope peak)
+    frequencies must scale by the requested ratio. The parselmouth-gated
+    test below measures true Praat divergence when the package exists."""
+
+    def _vowel(self, sr=16000, f0=110.0, formants=(700.0, 1220.0), dur=0.6):
+        t = np.arange(int(sr * dur)) / sr
+        # impulse train through resonators ≈ vowel with known formants
+        src = np.zeros_like(t)
+        period = int(sr / f0)
+        src[::period] = 1.0
+        out = np.zeros_like(src)
+        from scipy.signal import lfilter
+
+        for F in formants:
+            bw = 80.0
+            r = np.exp(-np.pi * bw / sr)
+            theta = 2 * np.pi * F / sr
+            a = [1, -2 * r * np.cos(theta), r ** 2]
+            out = out + lfilter([1.0], a, src)
+        return (out / np.abs(out).max() * 0.5).astype(np.float32)
+
+    def _envelope_peak(self, wav, sr, lo, hi):
+        from scipy.signal import welch
+
+        f, p = welch(wav, fs=sr, nperseg=1024)
+        # smooth over ~190 Hz so harmonics merge into the envelope
+        k = np.ones(13) / 13
+        p = np.convolve(p, k, mode="same")
+        band = (f >= lo) & (f <= hi)
+        return float(f[band][np.argmax(p[band])])
+
+    def test_envelope_peaks_scale_by_ratio(self):
+        from interspeech_ser_tpu.train.information_encoder import _formant_shift_dsp
+
+        sr = 16000
+        wav = self._vowel(sr)
+        for shift in (1.25, 1.0 / 1.25):
+            out = _formant_shift_dsp(wav, sr, shift)
+            # first formant: expected 700 Hz → 700·shift
+            expected = 700.0 * shift
+            got = self._envelope_peak(out, sr, expected * 0.7, expected * 1.3)
+            rel_err = abs(got - expected) / expected
+            assert rel_err < 0.12, (shift, got, expected)
+
+    def test_praat_divergence_when_available(self):
+        """Praat-vs-DSP divergence measurement — runs only where
+        parselmouth is installed (documents the exact check to run when
+        weights/deps arrive; see STATUS)."""
+        pytest.importorskip("parselmouth")
+        from interspeech_ser_tpu.train.information_encoder import (
+            _formant_shift_dsp,
+            timbre_perturb,
+        )
+
+        sr = 16000
+        wav = self._vowel(sr)
+        praat_out = timbre_perturb(wav, sr, formant_shift=1.25)
+        dsp_out = _formant_shift_dsp(wav, sr, 1.25)
+        n = min(len(praat_out), len(dsp_out))
+        p1 = self._envelope_peak(np.asarray(praat_out)[:n], sr, 600, 1200)
+        p2 = self._envelope_peak(dsp_out[:n], sr, 600, 1200)
+        assert abs(p1 - p2) / p1 < 0.1

@@ -288,3 +288,36 @@ class TestProtoCLI:
         best = pe.proto_main("melspec_only_gender", argv=["--config_path", str(p)])
         assert np.isfinite(best["val_angle"])
         assert os.path.exists(tmp_path / "exp" / "angle_ser.pt")
+
+
+class TestProtoCEMode:
+    def test_base_variant_ce_plus_angle(self, proto_fixture, tmp_path):
+        """Base (non-_only) protoangular: CE+angle training, dev CE/F1
+        selection, ser.pt checkpoint (ref …_protoangularloss.py)."""
+        from interspeech_ser_tpu.train.proto_engine import (
+            LazyProtoDataset,
+            ProtoOnlyEngine,
+            ProtoSERNet,
+        )
+
+        df = pd.read_csv(proto_fixture / "labels.csv")
+        y = np.argmax(df[[c for c in df.columns][1:9]].values, axis=1)
+        tr = df.Split_Set == "Train"
+        train_ds = LazyProtoDataset(
+            df[tr].FileName.tolist(), y[tr.values], str(proto_fixture / "lazy")
+        )
+        val_ds = LazyProtoDataset(
+            df[~tr].FileName.tolist(), y[~tr.values], str(proto_fixture / "lazy")
+        )
+        engine = ProtoOnlyEngine(
+            ProtoSERNet(12, 16, 4, 1), 4, 3, 2, seed=3, ce_mode=True,
+            val_batch_size=8,
+        )
+        logs = []
+        best = engine.fit(train_ds, val_ds, epochs=4, lr=5e-3,
+                          model_path=str(tmp_path), log=logs.append)
+        assert "dev CE=" in logs[0] and "dev f1=" in logs[0]
+        first_ce = float(logs[0].split("dev CE=")[1].split()[0])
+        assert best["val_angle"] <= first_ce  # dev CE is the selection metric
+        sd = torch.load(str(tmp_path / "ser.pt"), weights_only=True)
+        assert "classifier.3.weight" in sd
