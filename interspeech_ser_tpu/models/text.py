@@ -186,6 +186,19 @@ class DebertaV2Config:
 
     @classmethod
     def from_hf(cls, c, dtype="float32"):
+        # this port implements the deberta-v2-xxlarge card's attention
+        # variant only; configs outside it would silently compute different
+        # math (caught by the full-size audit), so refuse them loudly
+        if not getattr(c, "share_att_key", False):
+            raise NotImplementedError(
+                "DebertaV2 port requires share_att_key=True (the v2/v3 "
+                "card setting); separate pos_{key,query}_proj not implemented"
+            )
+        if getattr(c, "position_biased_input", True):
+            raise NotImplementedError(
+                "DebertaV2 port requires position_biased_input=False "
+                "(the v2/v3 card setting)"
+            )
         return cls(
             vocab_size=c.vocab_size, hidden_size=c.hidden_size,
             num_layers=c.num_hidden_layers, num_heads=c.num_attention_heads,

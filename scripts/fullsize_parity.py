@@ -126,11 +126,17 @@ def check_text(family: str):
     else:
         from transformers import DebertaV2Config, DebertaV2Model
 
+        # microsoft/deberta-v2-xxlarge card values — the HF defaults differ
+        # in share_att_key / position_biased_input, which select a DIFFERENT
+        # attention variant this port deliberately does not implement
         cfg = DebertaV2Config(
             hidden_size=1536, num_hidden_layers=48, num_attention_heads=24,
             intermediate_size=6144, vocab_size=128100,
             relative_attention=True, max_relative_positions=-1,
-            pos_att_type=["p2c", "c2p"], position_buckets=256, norm_rel_ebd="layer_norm",
+            pos_att_type=["p2c", "c2p"], position_buckets=256,
+            norm_rel_ebd="layer_norm", share_att_key=True,
+            position_biased_input=False, conv_kernel_size=3, conv_act="gelu",
+            layer_norm_eps=1e-7, max_position_embeddings=512,
         )
         torch.manual_seed(0)
         model = DebertaV2Model(cfg).eval()

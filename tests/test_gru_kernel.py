@@ -5,6 +5,7 @@ import sys
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -63,3 +64,26 @@ class TestBiGRUFusedKernel:
         ref = model.apply({"params": params}, x, jnp.asarray(mask))
         ours = model.apply({"params": params}, x, jnp.asarray(mask), use_kernel=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
+
+
+class TestPosConvKernel:
+    def test_matches_xla_grouped_conv(self):
+        """Pallas pos-conv == XLA grouped conv (f32, interpret on CPU)."""
+        from interspeech_ser_tpu.ops.pallas.pos_conv import pos_conv_grouped
+
+        rng = np.random.default_rng(4)
+        B, T, D, G, K = 2, 37, 128, 2, 8
+        # kernel API asserts 64-ch groups; use the production group width
+        B, T, D, G, K = 2, 37, 128, 2, 8
+        x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+        kernel = jnp.asarray(
+            (rng.normal(size=(K, D // G, D)) * 0.1).astype(np.float32)
+        )
+        ref = jax.lax.conv_general_dilated(
+            x, kernel, (1,), [(K // 2, K // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=G,
+        )
+        ours = pos_conv_grouped(x, kernel, groups=G)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
