@@ -71,7 +71,16 @@ class SpeechConfig:
 
     @property
     def compute_dtype(self):
-        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        # int8 mode: matmuls run W8A8 on the MXU's int8 path; everything
+        # else (norms, softmax, conv frontend) computes in bf16/f32 as in
+        # bfloat16 mode
+        return (
+            jnp.bfloat16 if self.dtype in ("bfloat16", "int8") else jnp.float32
+        )
+
+    @property
+    def use_int8(self) -> bool:
+        return self.dtype == "int8"
 
     @property
     def use_approx_gelu(self) -> bool:
@@ -273,6 +282,15 @@ def _relative_position_buckets(tq: int, tk: int, num_buckets: int, max_distance:
     return jnp.asarray(buckets)
 
 
+def _proj_dense(cfg: SpeechConfig, features: int, name: str):
+    """Projection Dense: int8 QDense in extraction int8 mode, else nn.Dense."""
+    if cfg.use_int8:
+        return QDense(features, dtype=cfg.compute_dtype, name=name)
+    return nn.Dense(
+        features, dtype=cfg.compute_dtype, param_dtype=jnp.float32, name=name
+    )
+
+
 class SpeechSelfAttention(nn.Module):
     """Self-attention; WavLM flavor adds the gated relative position bias."""
 
@@ -292,9 +310,9 @@ class SpeechSelfAttention(nn.Module):
         dt = cfg.compute_dtype
         B, T, _ = x.shape
 
-        q = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="q_proj")(x)
-        k = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="k_proj")(x)
-        v = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="v_proj")(x)
+        q = _proj_dense(cfg, D, "q_proj")(x)
+        k = _proj_dense(cfg, D, "k_proj")(x)
+        v = _proj_dense(cfg, D, "v_proj")(x)
         q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
@@ -334,7 +352,7 @@ class SpeechSelfAttention(nn.Module):
             shared_bias=position_bias if cfg.attention_type == "wavlm" else None,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-        out = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="out_proj")(out)
+        out = _proj_dense(cfg, D, "out_proj")(out)
         return out, position_bias
 
 
@@ -345,14 +363,82 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         dt = cfg.compute_dtype
-        h = nn.Dense(
-            cfg.intermediate_size, dtype=dt, param_dtype=jnp.float32,
-            name="intermediate_dense",
-        )(x)
+        h = _proj_dense(cfg, cfg.intermediate_size, "intermediate_dense")(x)
         h = nn.gelu(h, approximate=cfg.use_approx_gelu)
-        return nn.Dense(
-            cfg.hidden_size, dtype=dt, param_dtype=jnp.float32, name="output_dense"
-        )(h)
+        return _proj_dense(cfg, cfg.hidden_size, "output_dense")(h)
+
+
+class QDense(nn.Module):
+    """Dense with an optional W8A8 int8 fast path (extraction-only mode).
+
+    Param layout adds ``kernel_scale`` [out] beside the usual kernel/bias.
+    When the provided kernel is int8 (pre-quantized per-output-channel by
+    ``quantize_params_int8``), activations are dynamically quantized
+    per-row (symmetric, max/127) and the matmul runs int8×int8→int32 on
+    the MXU (~2× bf16 peak on v5e); the f32 result is rescaled by
+    (row_scale · channel_scale). With an f32 kernel this is a plain Dense
+    (scale ignored), so init/training paths are unchanged.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if kernel.dtype == jnp.int8:
+            xf = x.astype(jnp.float32)
+            s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            s_x = jnp.maximum(s_x, 1e-12)
+            x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x_q, kernel, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = y.astype(jnp.float32) * (s_x * scale)
+            return (out + bias).astype(self.dtype)
+        return (x @ kernel.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
+
+
+_INT8_PROJ_NAMES = frozenset(
+    ("q_proj", "k_proj", "v_proj", "out_proj", "intermediate_dense", "output_dense")
+)
+
+
+def quantize_params_int8(params):
+    """Per-output-channel symmetric int8 quantization of the QDense kernels.
+
+    Walks an encoder param tree (converter output, no kernel_scale
+    entries needed) and rewrites each projection Dense: kernel → int8
+    with scale = max|W|/127 per column, ``kernel_scale`` added. Returns a
+    new tree (everything else untouched, f32).
+    """
+    import numpy as onp
+
+    def rec(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                if k in _INT8_PROJ_NAMES and "kernel" in v:
+                    w = onp.asarray(v["kernel"], onp.float32)
+                    s = onp.abs(w).max(axis=0) / 127.0
+                    s = onp.maximum(s, 1e-12)
+                    q = onp.clip(onp.round(w / s), -127, 127).astype(onp.int8)
+                    out[k] = {**v, "kernel": q, "kernel_scale": s.astype(onp.float32)}
+                else:
+                    out[k] = rec(v)
+            else:
+                out[k] = v
+        return out
+
+    return rec(params)
 
 
 class Adapter(nn.Module):
