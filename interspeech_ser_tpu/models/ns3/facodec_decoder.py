@@ -348,6 +348,24 @@ class FACodecDecoderFull(nn.Module):
         losses = jnp.concatenate([lp, lc, lr], axis=0)
         return (qp, qc, qr), codes, losses
 
+    def quantize_v2(self, x, prosody_latents, n_quantizers=None,
+                    train: bool = False, rng=None):
+        """FACodecDecoderV2.quantize (reference facodec.py:1076-1116): the
+        prosody bank quantizes the melspec-encoded prosody latents
+        (``ProsodyExtractor``'s melspec_linear + melspec_encoder output,
+        [B, T, 256]) instead of x; content/residual banks operate on x as
+        in V1."""
+        rngs = (None, None, None)
+        if rng is not None:
+            rngs = jax.random.split(rng, 3)
+        qp, cp, lp, _ = self.prosody_vq(prosody_latents, n_quantizers, train, rngs[0])
+        qc, cc, lc, _ = self.content_vq(x, n_quantizers, train, rngs[1])
+        resid_in = x - jax.lax.stop_gradient(qp + qc)
+        qr, cr, lr, _ = self.residual_vq(resid_in, n_quantizers, train, rngs[2])
+        codes = jnp.concatenate([cp, cc, cr], axis=0)
+        losses = jnp.concatenate([lp, lc, lr], axis=0)
+        return (qp, qc, qr), codes, losses
+
     def speaker_embedding(self, x):
         """x [B, T, 256] → timbre-encoder mean-pooled speaker embedding."""
         return jnp.mean(self.timbre_encoder(x), axis=1)

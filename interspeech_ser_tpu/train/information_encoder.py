@@ -172,3 +172,120 @@ def fixed_timbre_perturb(
     the WavSet augmentation, benchmark/utils/dataset/dataset.py:176-179)."""
     shift = formant_shift_sampler(formant_rate, rng)
     return timbre_perturb(wav, sr, shift, pitch_steps, pitch_floor, pitch_ceil, fname)
+
+
+def train_reference_encoder(
+    model,
+    train_batches,
+    val_batches,
+    epochs: int = 100,
+    eval_epochs: int = 5,
+    lr: float = 0.001,
+    save_model_path: Optional[str] = None,
+    checkpoint_every: int = 5000,
+    seed: int = 0,
+    log=print,
+):
+    """Adam + CE epoch trainer for ``ReferenceEncoderClassifier``.
+
+    Capability port of the reference's generic train loop
+    (src/information_encoder/utils.py:96-184): per-epoch train accuracy,
+    val every ``eval_epochs`` epochs, periodic ``checkpoint_<iter>``
+    saves and best-val-loss ``best_model_<iter>`` saves (torch-format
+    flat state dicts). ``train_batches``/``val_batches`` are callables
+    returning iterables of (melspec [B, T, M] np, labels [B] np) — the
+    reference's DataLoader role.
+
+    Returns (params, train_loss, val_loss, train_acc, val_acc).
+    """
+    import os as _os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..utils import ptio
+
+    key = jax.random.PRNGKey(seed)
+    first = next(iter(train_batches()))
+    variables = model.init(key, jnp.asarray(first[0][:1]), deterministic=False)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def _ce(logits, y):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.mean(-jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0])
+
+    @jax.jit
+    def step(p, bs, opt_state, mel, y):
+        def loss_fn(p):
+            logits, updates = model.apply(
+                {"params": p, "batch_stats": bs}, mel, deterministic=False,
+                mutable=["batch_stats"],
+            )
+            return _ce(logits, y), (logits, updates["batch_stats"])
+
+        (loss, (logits, bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(p, updates), bs, opt_state, loss, logits
+
+    @jax.jit
+    def eval_fwd(p, bs, mel, y):
+        logits = model.apply({"params": p, "batch_stats": bs}, mel)
+        return _ce(logits, y), logits
+
+    def save(name):
+        if save_model_path is None:
+            return
+        _os.makedirs(save_model_path, exist_ok=True)
+        flat = {}
+
+        def rec(node, prefix):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    rec(v, f"{prefix}{k}.")
+                else:
+                    flat[f"{prefix}{k}"] = np.asarray(v)
+
+        rec(jax.tree.map(np.asarray, params), "")
+        rec(jax.tree.map(np.asarray, {"batch_stats": bstats}), "")
+        ptio.save_state_dict(flat, _os.path.join(save_model_path, name))
+
+    train_loss, val_loss, train_acc, val_acc = [], [], [], []
+    best_loss = float("inf")
+    it = 0
+    for epoch in range(epochs):
+        correct = total = 0
+        for mel, y in train_batches():
+            params, bstats, opt_state, loss, logits = step(
+                params, bstats, opt_state, jnp.asarray(mel), jnp.asarray(y)
+            )
+            train_loss.append(float(loss))
+            correct += int((np.asarray(logits).argmax(-1) == np.asarray(y)).sum())
+            total += len(y)
+            it += 1
+            if it % checkpoint_every == 0:
+                save(f"checkpoint_{it}.pth")
+        train_acc.append(correct / max(total, 1))
+
+        if epoch % eval_epochs == 0:
+            correct = total = 0
+            losses_e = []
+            for mel, y in val_batches():
+                loss, logits = eval_fwd(
+                    params, bstats, jnp.asarray(mel), jnp.asarray(y)
+                )
+                losses_e.append(float(loss))
+                val_loss.append(float(loss))
+                correct += int((np.asarray(logits).argmax(-1) == np.asarray(y)).sum())
+                total += len(y)
+            avg = float(np.mean(losses_e)) if losses_e else float("nan")
+            val_acc.append(correct / max(total, 1))
+            if avg < best_loss:
+                best_loss = avg
+                save(f"best_model_{it}.pth")
+            log(f"epoch {epoch}: train acc={train_acc[-1]:.3f} "
+                f"val loss={avg:.4f} acc={val_acc[-1]:.3f}")
+    return params, train_loss, val_loss, train_acc, val_acc

@@ -127,3 +127,41 @@ class TestFormantShiftFidelity:
         p1 = self._envelope_peak(np.asarray(praat_out)[:n], sr, 600, 1200)
         p2 = self._envelope_peak(dsp_out[:n], sr, 600, 1200)
         assert abs(p1 - p2) / p1 < 0.1
+
+
+class TestReferenceEncoderTrainLoop:
+    def test_trains_and_checkpoints(self, tmp_path):
+        """Capability port of the reference's generic train() loop
+        (src/information_encoder/utils.py:96-184)."""
+        from interspeech_ser_tpu.train.information_encoder import (
+            ReferenceEncoderClassifier,
+            train_reference_encoder,
+        )
+
+        rng = np.random.default_rng(9)
+        means = rng.normal(scale=2.0, size=(3, 16))
+
+        def batches(n, seed):
+            def gen():
+                r = np.random.default_rng(seed)
+                for _ in range(n):
+                    y = r.integers(0, 3, size=8)
+                    mel = r.normal(size=(8, 32, 16)).astype(np.float32) + means[y][:, None, :]
+                    yield mel.astype(np.float32), y.astype(np.int64)
+            return gen
+
+        model = ReferenceEncoderClassifier(num_mel=16, embedding_dim=16, num_classes=3)
+        params, tr_loss, va_loss, tr_acc, va_acc = train_reference_encoder(
+            model, batches(6, 1), batches(2, 2), epochs=3, eval_epochs=1,
+            lr=3e-3, save_model_path=str(tmp_path), checkpoint_every=10,
+            log=lambda *_: None,
+        )
+        assert tr_acc[-1] > tr_acc[0] or tr_acc[-1] > 0.6
+        assert any(f.startswith("best_model_") for f in os.listdir(tmp_path))
+        assert any(f.startswith("checkpoint_") for f in os.listdir(tmp_path))
+        # checkpoints are torch-loadable flat state dicts
+        import torch as _torch
+
+        f = sorted(f for f in os.listdir(tmp_path) if f.startswith("best_model_"))[0]
+        sd = _torch.load(str(tmp_path / f), weights_only=True)
+        assert any("recurrence" in k or "conv" in k for k in sd)

@@ -255,3 +255,28 @@ class TestRedecoder:
         assert float(jnp.max(jnp.abs(wav_a - wav_b))) > 1e-6
         wav_r = red.apply(variables, codes, spk_a, use_residual=True)
         assert float(jnp.max(jnp.abs(wav_a - wav_r))) > 1e-6
+
+
+class TestQuantizeV2:
+    def test_prosody_bank_uses_melspec_latents(self):
+        """V2 quantize: prosody bank sees the melspec-encoded latents, not
+        x (reference facodec.py:1076-1116)."""
+        dec = FACodecDecoderFull(
+            in_channels=8, upsample_initial_channel=16, up_ratios=(2, 2),
+            codebook_size=16, codebook_dim=4,
+        )
+        x = jnp.asarray(RNG.normal(size=(2, 7, 8)).astype(np.float32))
+        pros = jnp.asarray(RNG.normal(size=(2, 7, 8)).astype(np.float32))
+        variables = dec.init(jax.random.PRNGKey(0), x)
+        (qp, qc, qr), codes, losses = dec.apply(
+            variables, x, pros, method=FACodecDecoderFull.quantize_v2
+        )
+        assert codes.shape == (6, 2, 7)
+        # same prosody latents -> same prosody codes regardless of x
+        x2 = jnp.asarray(RNG.normal(size=(2, 7, 8)).astype(np.float32))
+        (_, _, _), codes2, _ = dec.apply(
+            variables, x2, pros, method=FACodecDecoderFull.quantize_v2
+        )
+        np.testing.assert_array_equal(np.asarray(codes[0]), np.asarray(codes2[0]))
+        # content codes DO depend on x
+        assert not np.array_equal(np.asarray(codes[1]), np.asarray(codes2[1]))
