@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Extraction throughput for every production encoder on one chip.
+
+Chained-dispatch timing (same method as bench.py) at each encoder's card
+architecture with random weights, bf16 compute. Prints one line per model;
+record the table in STATUS.
+
+Run:  python scripts/bench_zoo.py [families...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+SECONDS = 10.0
+
+
+def chain_rate(fwd, params, x, extra, batch, n_chain=6):
+    @jax.jit
+    def chained(params, x, extra):
+        def body(i, x):
+            out = fwd(params, x, extra)
+            delta = jnp.sum(out.astype(jnp.float32)) * 1e-12
+            return x + delta.astype(x.dtype)
+
+        return jax.lax.fori_loop(0, n_chain, body, x)
+
+    out = chained(params, x, extra)
+    float(jnp.sum(out.astype(jnp.float32)))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = chained(params, x, extra)
+        float(jnp.sum(out.astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return batch * n_chain / best
+
+
+def bench_speech(name, cfg_fn, batch):
+    from interspeech_ser_tpu.models.speech import SpeechEncoderModel
+
+    cfg = cfg_fn(dtype="bfloat16")
+    model = SpeechEncoderModel(cfg)
+    rng = np.random.default_rng(0)
+    T = int(16000 * SECONDS)
+    wav = jnp.asarray(rng.normal(size=(batch, T)).astype(np.float32))
+    mask = jnp.ones((batch, T), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def fwd(p, w, m):
+        return model.apply({"params": p}, w, m)["last_hidden_state"]
+
+    rate = chain_rate(fwd, params, wav, mask, batch)
+    print(f"{name}: {rate:.1f} utt/s/chip (B={batch}, 10-s utts)")
+
+
+def bench_whisper(batch):
+    from interspeech_ser_tpu.models.whisper import WhisperEncoderConfig, WhisperEncoderModel
+
+    cfg = WhisperEncoderConfig(dtype="bfloat16")
+    model = WhisperEncoderModel(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(batch, cfg.num_mel_bins, 3000)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mel[:1])["params"]
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def fwd(p, m, _):
+        return model.apply({"params": p}, m)["last_hidden_state"]
+
+    rate = chain_rate(fwd, params, mel, None, batch)
+    # whisper processes fixed 30-s windows; report windows/s
+    print(f"whisper-large-v3-enc: {rate:.1f} windows/s/chip (B={batch}, 30-s windows)")
+
+
+def bench_text(name, builder_cfg, batch, seq):
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 1000, size=(batch, seq)))
+    mask = jnp.ones((batch, seq), jnp.float32)
+    model, params = builder_cfg()
+
+    def fwd(p, i, m):
+        return model.apply({"params": p}, i, m)["last_hidden_state"]
+
+    @jax.jit
+    def chained(params, ids, mask):
+        def body(i, acc):
+            out = fwd(params, ids, mask)
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        return jax.lax.fori_loop(0, 6, body, jnp.float32(0))
+
+    out = chained(params, ids, mask)
+    float(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = chained(params, ids, mask)
+        float(out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {batch * 6 / best:.1f} seq/s/chip (B={batch}, {seq}-tok seqs)")
+
+
+def _roberta():
+    from interspeech_ser_tpu.models.text import RobertaConfig, RobertaModel
+
+    cfg = RobertaConfig(
+        vocab_size=50265, hidden_size=1024, num_layers=24, num_heads=16,
+        intermediate_size=4096, max_position_embeddings=514, dtype="bfloat16",
+    )
+    model = RobertaModel(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 8), jnp.float32))["params"]
+    return model, jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+
+def _deberta():
+    from interspeech_ser_tpu.models.text import DebertaV2Config, DebertaV2Model
+
+    cfg = DebertaV2Config(
+        vocab_size=128100, hidden_size=1536, num_layers=48, num_heads=24,
+        intermediate_size=6144, max_position_embeddings=512,
+        position_buckets=256, dtype="bfloat16",
+    )
+    model = DebertaV2Model(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 8), jnp.float32))["params"]
+    return model, jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+
+def main():
+    from interspeech_ser_tpu.models.speech import (
+        hubert_xlarge,
+        wav2vec2_xlsr_2b,
+        wavlm_large,
+    )
+
+    fams = sys.argv[1:] or ["wavlm", "hubert", "w2v2", "whisper", "roberta", "deberta"]
+    for f in fams:
+        if f == "wavlm":
+            bench_speech("wavlm-large", wavlm_large, 32)
+        elif f == "hubert":
+            bench_speech("hubert-xlarge", hubert_xlarge, 16)
+        elif f == "w2v2":
+            bench_speech("w2v2-xls-r-2b", wav2vec2_xlsr_2b, 8)
+        elif f == "whisper":
+            bench_whisper(8)
+        elif f == "roberta":
+            bench_text("roberta-large", _roberta, 64, 80)
+        elif f == "deberta":
+            bench_text("deberta-v2-xxl", _deberta, 32, 80)
+
+
+if __name__ == "__main__":
+    main()
