@@ -95,7 +95,11 @@ def gru_scan(
         return h_next, h_next * m  # zero output at padded frames
 
     h0_f = h0.astype(jnp.float32)
-    _, ys = jax.lax.scan(step, h0_f, (xs, ms), reverse=reverse)
+    # unroll=8: the recurrence is latency-bound per sequential step;
+    # unrolling amortizes the per-step scheduling overhead — measured
+    # 44.2 → 29.4 ms/step (-33%) on the production fusion train step
+    # (bs 64, T=512+80) on v5e; unroll=16 regresses (35 ms).
+    _, ys = jax.lax.scan(step, h0_f, (xs, ms), reverse=reverse, unroll=8)
     return jnp.swapaxes(ys, 0, 1).astype(compute_dtype)  # [B, T, H]
 
 
