@@ -154,8 +154,7 @@ def legacy_train_main(variant: str = "base", argv=None):
     normalize_wav). 'xvector' additionally honors optional xvector_ckpt
     (path to a speechbrain embedding_model checkpoint).
     """
-    import logging
-    import time
+    from ..train.engine import setup_run_logging
 
     p = argparse.ArgumentParser()
     p.add_argument("--seed", type=int, default=7)
@@ -164,17 +163,7 @@ def legacy_train_main(variant: str = "base", argv=None):
     with open(args.config_path) as f:
         cfg = json.load(f)
     model_path = cfg["model_path"]
-    os.makedirs(model_path, exist_ok=True)
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s - %(levelname)s - %(message)s",
-        handlers=[
-            logging.FileHandler(os.path.join(model_path, "loggingtxt-%d.log" % time.time())),
-            logging.StreamHandler(),
-        ],
-        force=True,
-    )
-    logger = logging.getLogger()
+    logger = setup_run_logging(model_path)
     common = dict(
         label_path=cfg["label_path"],
         audio_path=cfg["wav_dir"],

@@ -131,8 +131,9 @@ class XVectorEngine:
         class_weights = jnp.asarray(w, jnp.float32)
 
         # two AdamW at the same LR (reference :201-207); AdamW is
-        # per-parameter, so one optimizer over both trees is identical
-        tx = optax.adamw(lr)
+        # per-parameter, so one optimizer over both trees is identical.
+        # torch.optim.AdamW defaults weight_decay=1e-2 (optax's is 1e-4).
+        tx = optax.adamw(lr, weight_decay=1e-2)
         params = {"xv": self.xv_params, "head": self.head_params}
         opt_state = tx.init(params)
         micro_bs = batch_size // accumulation_steps
@@ -217,7 +218,9 @@ class XVectorEngine:
         n = len(dataset)
         order = np.argsort([len(w) for w in dataset.wav_list], kind="stable")
         preds = np.zeros((n, 8), np.float32)
-        eval_jit: Dict = {}
+        # cache jitted eval fns across calls: fit() evaluates every epoch
+        # and a per-call cache would recompile every bucket every epoch
+        eval_jit: Dict = self.__dict__.setdefault("_eval_jit", {})
         for s in range(0, n, batch_size):
             idxs = order[s : s + batch_size].tolist()
             b = bdata.collate_wav(dataset, idxs, batch_size)

@@ -25,19 +25,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _setup_logger(model_path: str):
-    os.makedirs(model_path, exist_ok=True)
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s - %(levelname)s - %(message)s",
-        handlers=[
-            logging.FileHandler(
-                os.path.join(model_path, "loggingtxt-%d.log" % time.time())
-            ),
-            logging.StreamHandler(),
-        ],
-        force=True,
-    )
-    return logging.getLogger()
+    from .train.engine import setup_run_logging
+
+    return setup_run_logging(model_path)
 
 
 def make_hf_tokenize(name_or_path: str, max_length: int = 128):

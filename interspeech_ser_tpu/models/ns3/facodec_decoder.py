@@ -143,6 +143,11 @@ class ResidualVQBank(nn.Module):
             if self.quantizer_dropout > 0:
                 assert rng is not None
                 if self.dropout_type == "exp":
+                    # reference formula (rvq.py:37-40): randint(1,
+                    # int(log2(n))) EXCLUSIVE — the full quantizer count is
+                    # never sampled (n=8 draws only {2,4}); replicated
+                    # faithfully, with a clamp so n<=3 (where the reference
+                    # raises on an empty randint range) degrades to 2
                     hi = max(int(math.log2(self.num_quantizers)), 2)
                     drop = 2 ** jax.random.randint(rng, (B,), 1, hi)
                 else:

@@ -45,7 +45,10 @@ class XVector(nn.Module):
             )(x)
             x = nn.relu(x)
             x = nn.BatchNorm(
-                use_running_average=not train, epsilon=1e-5, name=f"bn{i}"
+                # torch BatchNorm1d momentum 0.1 == flax momentum 0.9
+                # (flax keeps `momentum` of the OLD average)
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn{i}",
             )(x)
             if frame_mask is not None:
                 # re-zero the padded tail so deeper dilated convs see the

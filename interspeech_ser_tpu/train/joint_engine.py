@@ -376,7 +376,8 @@ class JointEngine:
         logits = np.zeros((n, 8), np.float32)
         feats_w = np.zeros((n, self.head_dim), np.float32) if opts.gated else None
         feats_r = np.zeros((n, self.head_dim), np.float32) if opts.gated else None
-        eval_jit: Dict = {}
+        # cached across calls: fit() evaluates every epoch
+        eval_jit: Dict = self.__dict__.setdefault("_eval_jit", {})
         for s in range(0, n, batch_size):
             idxs = order[s : s + batch_size].tolist()
             wb, tids, tmask = bdata.collate_txt_wav(wav_set, txt_set, idxs, batch_size)
@@ -608,7 +609,10 @@ class TextOnlyEngine:
     def predict(self, ids: np.ndarray, mask: np.ndarray, batch_size: int = 16):
         n = len(ids)
         logits = np.zeros((n, 8), np.float32)
-        fwd = jax.jit(lambda p, i, m: self._apply(p, i, m, True))
+        # cached across calls: fit() evaluates every epoch
+        if not hasattr(self, "_eval_fwd"):
+            self._eval_fwd = jax.jit(lambda p, i, m: self._apply(p, i, m, True))
+        fwd = self._eval_fwd
         for s in range(0, n, batch_size):
             i_ = ids[s : s + batch_size]
             m_ = mask[s : s + batch_size]

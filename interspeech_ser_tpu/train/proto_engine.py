@@ -239,10 +239,13 @@ class BidirectionalReferenceEncoder(nn.Module):
 
 
 def _regroup_class_major(n_utter: int, n_classes: int) -> np.ndarray:
-    """PerfectBatchSampler yields class-interleaved rows [c0 c1 … c0 c1 …];
-    the reference regroups them class-major via
-    ``transpose(x.view(U, C, -1), 0, 1).reshape(...)``
-    (…_protoangularloss_only.py:493-499). Returns the row permutation."""
+    """The reference's regroup quirk, documented: its coqui-style sampler
+    yields class-interleaved rows [c0 c1 … c0 c1 …] which the scripts
+    regroup class-major via ``transpose(x.view(U, C, -1), 0, 1)``
+    (…_protoangularloss_only.py:493-499). Returns that row permutation.
+    NOT applied by ProtoOnlyEngine: this repo's PerfectBatchSampler emits
+    class-major batches directly, so the net effect (class-major groups
+    entering the angle-proto loss) is achieved with no permutation."""
     idx = np.arange(n_utter * n_classes).reshape(n_utter, n_classes)
     return idx.T.reshape(-1)
 
@@ -361,7 +364,12 @@ class ProtoOnlyEngine:
         self.variables = None
 
     def _collate(self, dataset, idxs, n_utter: int) -> np.ndarray:
-        perm = _regroup_class_major(n_utter, self.C)
+        # NO permutation here: the reference's class-major regroup
+        # (_regroup_class_major) exists because its coqui-style sampler
+        # yields class-INTERLEAVED rows; this repo's PerfectBatchSampler
+        # already emits class-major batches (samplers.py: batch.extend per
+        # class), so applying the transpose would scramble the angle-proto
+        # groups (caught in review; tested in TestProtoCollate).
         feats = [dataset.features(i) for i in idxs]
         t_max = max(f.shape[0] for f in feats)
         q = self.bucket_quantum
@@ -370,7 +378,7 @@ class ProtoOnlyEngine:
         for i, f in enumerate(feats):
             out[i, : f.shape[0]] = f
         y = np.asarray([dataset.labels[i] for i in idxs], np.int64)
-        return out[perm], y[perm]
+        return out, y
 
     def _embed(self, variables, feats, train: bool, dkey=None):
         kwargs = dict(deterministic=not train)

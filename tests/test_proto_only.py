@@ -321,3 +321,30 @@ class TestProtoCEMode:
         assert best["val_angle"] <= first_ce  # dev CE is the selection metric
         sd = torch.load(str(tmp_path / "ser.pt"), weights_only=True)
         assert "classifier.3.weight" in sd
+
+
+class TestProtoCollate:
+    def test_collate_is_class_major_without_permutation(self, proto_fixture):
+        """This repo's PerfectBatchSampler emits class-major batches, so
+        _collate must NOT apply the reference's interleave->class-major
+        regroup (doing so scrambles the angle-proto groups; caught in
+        review)."""
+        from interspeech_ser_tpu.train.proto_engine import (
+            LazyProtoDataset,
+            ProtoOnlyEngine,
+            ProtoSERNet,
+        )
+        from interspeech_ser_tpu.train.samplers import PerfectBatchSampler
+
+        df = pd.read_csv(proto_fixture / "labels.csv")
+        y = np.argmax(df[[c for c in df.columns][1:9]].values, axis=1)
+        ds = LazyProtoDataset(df.FileName.tolist(), y, str(proto_fixture / "lazy"))
+        C, U = 4, 3
+        sampler = PerfectBatchSampler(y, range(C), C * U, shuffle=True,
+                                      drop_last=True, seed=0)
+        engine = ProtoOnlyEngine(ProtoSERNet(12, 16, 4, 1), C, U, U)
+        idxs = list(next(iter(sampler)))
+        _, yb = engine._collate(ds, idxs, U)
+        groups = yb.reshape(C, U)
+        # every angle-proto group must be a single class
+        assert (groups == groups[:, :1]).all(), groups
