@@ -196,3 +196,22 @@ def collate_txt_wav(
         ids[row, : len(tid)] = tid
         mask[row, : len(tm)] = tm
     return wav_batch, ids, mask
+
+
+def inverse_freq_sample_weights(onehot_labels) -> "np.ndarray":
+    """Per-sample inverse-class-frequency sampling probabilities.
+
+    WeightedRandomSampler semantics (reference
+    bin/old/train_cat_baselinelike_focalloss.py:167-186): p(sample) ∝
+    1/freq(class(sample)), normalized to sum 1 (any per-class scale factor
+    cancels in the normalization). Shared by the baseline, x-vector and
+    joint engines.
+    """
+    import numpy as np
+
+    labs = np.asarray(onehot_labels)
+    freq = labs.sum(axis=0).astype(np.float64)
+    inv = np.where(freq > 0, 1.0 / np.maximum(freq, 1), 0.0)
+    y_idx = np.argmax(labs, axis=1)
+    w = inv[y_idx]
+    return w / w.sum()

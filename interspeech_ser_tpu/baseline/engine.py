@@ -212,14 +212,9 @@ class BaselineEngine:
 
         sample_w = None
         if use_balanced_batch and self.task == "cat":
-            # per-sample inverse-frequency WeightedRandomSampler semantics
-            # (reference bin/old/train_cat_baselinelike_focalloss.py:167-186)
-            freq = np.asarray(train_labs).sum(axis=0).astype(np.float64)
-            inv = np.where(freq > 0, 1.0 / np.maximum(freq, 1), 0.0)
-            inv = inv * (len(inv) / inv.sum())
-            y_idx = np.argmax(np.asarray(train_labs), axis=1)
-            sample_w = inv[y_idx]
-            sample_w = sample_w / sample_w.sum()
+            from .data import inverse_freq_sample_weights
+
+            sample_w = inverse_freq_sample_weights(train_labs)
 
         for epoch in range(epochs):
             log(f"Epoch: {epoch}")

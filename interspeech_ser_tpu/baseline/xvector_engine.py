@@ -160,10 +160,7 @@ class XVectorEngine:
 
         sample_w = None
         if use_balanced_batch:
-            inv = np.where(freq > 0, 1.0 / np.maximum(freq, 1), 0.0)
-            y_idx = np.argmax(np.asarray(train_labs), axis=1)
-            sample_w = inv[y_idx]
-            sample_w = sample_w / sample_w.sum()
+            sample_w = bdata.inverse_freq_sample_weights(train_labs)
 
         lm = LogManager()
         lm.alloc_stat_type_list(["train_loss", "dev_loss"])

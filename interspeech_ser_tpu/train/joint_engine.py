@@ -313,11 +313,9 @@ class JointEngine:
         if use_balanced_batch:
             # per-sample inverse-frequency weights, normalized (reference
             # …:177-188); sampling WITH replacement like WeightedRandomSampler
-            cw = {c: 1.0 / f if f else 0.0 for c, f in zip(CLASSES, freq)}
-            factor = len(cw) / sum(cw.values())
-            y_idx = np.argmax(np.asarray(sets["train"].labels), axis=1)
-            sample_w = np.asarray([cw[CLASSES[i]] * factor for i in y_idx])
-            sample_w = sample_w / sample_w.sum()
+            from ..baseline.data import inverse_freq_sample_weights
+
+            sample_w = inverse_freq_sample_weights(sets["train"].labels)
 
         for epoch in range(epochs):
             log(f"Epoch: {epoch}")
