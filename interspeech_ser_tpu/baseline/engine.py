@@ -86,7 +86,13 @@ class BaselineEngine:
     # -- forward -----------------------------------------------------------
 
     def _apply(self, params, wav, mask, deterministic, dkey=None):
-        ssl_out = self.ssl_model.apply({"params": params["ssl"]}, wav, mask)
+        # freeze_feature_extractor mirrors the optimizer-side 'frozen' label
+        # AND prunes the frontend backward pass (reference
+        # freeze_feature_encoder, train_cat_ser.py:118-119)
+        ssl_out = self.ssl_model.apply(
+            {"params": params["ssl"]}, wav, mask,
+            freeze_feature_extractor=not deterministic,
+        )
         feats = ssl_out["last_hidden_state"]
         pooled = self.pool.apply({"params": params["pool"]}, feats, mask)
         rngs = None if deterministic else {"dropout": dkey}

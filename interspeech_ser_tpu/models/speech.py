@@ -545,10 +545,16 @@ class SpeechEncoderModel(nn.Module):
         self,
         wav: jnp.ndarray,  # [B, L] (already feature-extractor-normalized)
         wav_mask: Optional[jnp.ndarray] = None,  # [B, L], 1 = valid sample
+        freeze_feature_extractor: bool = False,
     ):
         cfg = self.config
         dt = cfg.compute_dtype
         feats = ConvFeatureExtractor(cfg, name="feature_extractor")(wav)
+        if freeze_feature_extractor:
+            # HF freeze_feature_encoder semantics: no grads reach the conv
+            # frontend; the stop_gradient also lets XLA prune its entire
+            # backward pass (optimizer-side zeroing alone still computes it)
+            feats = jax.lax.stop_gradient(feats)
         B, T, _ = feats.shape
 
         if wav_mask is not None:

@@ -52,7 +52,9 @@ def bench_baseline():
     opt_state = tx.init(params)
 
     def loss_fn(p, wav, mask, y, dkey):
-        out = enc.apply({"params": p["enc"]}, wav, mask)
+        out = enc.apply(
+            {"params": p["enc"]}, wav, mask, freeze_feature_extractor=True
+        )
         pooled = pool.apply({"params": p["pool"]}, out["last_hidden_state"], mask)
         logits = head.apply(
             {"params": p["head"]}, pooled, deterministic=False,
