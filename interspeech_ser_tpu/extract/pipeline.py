@@ -4,11 +4,13 @@ Replaces the reference's batch-1 ThreadPoolExecutor extraction
 (reference: preprocessing/preprocess_speech.py:45-73, 119-122; SURVEY.md
 §3.1) with the TPU-native design:
 
-  host threads: decode+resample+normalize wavs  ──►  length-sorted
-  token-budget batches at bucketed lengths      ──►  one jit per bucket
-  (conv frontend + encoder, layer-select/mean-last-4 REDUCED ON DEVICE so
-  only [B,T,D] of the selected output crosses HBM→host)  ──►  threaded
-  per-utterance ``.pt`` writers.
+  header-only batch plan (exact post-resample lengths, length-sorted
+  token-budget batches)  ──►  decoder threads + assembler feeding a
+  bounded queue (host RSS independent of corpus size)  ──►  device loop
+  dispatching batch k before fetching batch k-1 (double-buffered D2H;
+  layer-select/mean-last-4 REDUCED ON DEVICE so only [B,T,D] of the
+  selected output crosses HBM→host)  ──►  backpressured per-utterance
+  ``.pt`` writer threads. Machinery in ``extract/streaming.py``.
 
 Layer-selection semantics: ``n_layer`` (HF hidden_states indexing, -1 =
 last) or mean-of-last-4 (``use_average``), matching preprocess_speech.py:52-67.
@@ -34,12 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import streaming
 from ..utils import ptio
 from ..utils.audio import load_wav, normalize_waveform
-
-
-def _bucket(n: int, quantum: int, minimum: int) -> int:
-    return max(minimum, ((n + quantum - 1) // quantum) * quantum)
 
 
 def _shard_encoder_params(mesh, params):
@@ -164,7 +163,31 @@ class SpeechExtractionPipeline:
             print(f"Failed to process {path}: {e}")
             return None
 
+    def _plan(self, wav_dir: str, wav_names: Sequence[str], stats: ExtractionStats):
+        """Header-only batch plan (no audio decoded; exact lengths)."""
+        planned: List[Tuple[str, int]] = []
+        for name in wav_names:
+            try:
+                n = streaming.planned_wav_len(os.path.join(wav_dir, name))
+            except Exception:
+                # non-PCM/odd container: fall back to a full decode for the
+                # length (rare; decoded again in the stream)
+                w = self._load_one(wav_dir, name)
+                if w is None:
+                    stats.n_failed += 1
+                    continue
+                n = len(w)
+            planned.append((name, n))
+        return streaming.plan_batches(planned, self.token_budget, self.bucket_quantum)
+
     def run(self, wav_dir: str, save_path: str, wav_names: Optional[Sequence[str]] = None) -> ExtractionStats:
+        """Streaming producer/consumer extraction with bounded host RAM.
+
+        Decoder threads feed an assembler; the device loop dispatches batch
+        k before fetching batch k-1 (JAX async dispatch ⇒ D2H overlaps
+        compute); writer threads drain with backpressure. Host RSS is
+        bounded by queue depth × batch bytes, independent of corpus size.
+        """
         import time
 
         os.makedirs(save_path, exist_ok=True)
@@ -177,53 +200,40 @@ class SpeechExtractionPipeline:
         stats = ExtractionStats()
         t0 = time.perf_counter()
 
-        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
-        waves = list(pool.map(partial(self._load_one, wav_dir), wav_names))
-        ok = [(n, w) for n, w in zip(wav_names, waves) if w is not None]
-        stats.n_failed = len(wav_names) - len(ok)
-
-        # length-sorted token-budget batching at bucketed lengths; batch
-        # rows padded to a multiple of the mesh data axis for sharding
-        ok.sort(key=lambda kv: len(kv[1]))
-        batches: List[List[Tuple[str, np.ndarray]]] = []
-        cur: List[Tuple[str, np.ndarray]] = []
-        for name, w in ok:
-            blen = _bucket(len(w), self.bucket_quantum, self.bucket_quantum)
-            if cur and (len(cur) + 1) * blen > self.token_budget:
-                batches.append(cur)
-                cur = []
-            cur.append((name, w))
-        if cur:
-            batches.append(cur)
-
-        writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
-        pending = []
+        plan = self._plan(wav_dir, wav_names, stats)
+        stream = streaming.BatchStream(
+            partial(self._load_one, wav_dir), plan, self.bucket_quantum,
+            row_multiple=self.n_data, num_workers=self.num_workers,
+        )
+        writer = streaming.BoundedWriter(num_workers=self.num_workers)
         from ..parallel.mesh import shard_batch
 
-        for batch in batches:
-            T = _bucket(max(len(w) for _, w in batch), self.bucket_quantum, self.bucket_quantum)
-            B = ((len(batch) + self.n_data - 1) // self.n_data) * self.n_data
-            wav = np.zeros((B, T), np.float32)
-            mask = np.zeros((B, T), np.float32)
-            for i, (_, w) in enumerate(batch):
-                wav[i, : len(w)] = w
-                mask[i, : len(w)] = 1.0
-            fwd = self._forward((B, T), n_layer)
-            wav_d, mask_d = shard_batch(self.mesh, (jnp.asarray(wav), jnp.asarray(mask)))
-            feats, frame_mask = fwd(self.params, wav_d, mask_d)
+        def drain(item) -> None:
+            rb, feats_dev, fmask_dev = item
             # bf16 crosses the wire (ml_dtypes view), f32 cast on host
-            feats = np.asarray(jax.device_get(feats)).astype(np.float32, copy=False)
-            lengths = np.asarray(frame_mask).sum(axis=1).astype(int)
-            for i, (name, w) in enumerate(batch):
+            feats = np.asarray(jax.device_get(feats_dev)).astype(np.float32, copy=False)
+            lengths = np.asarray(jax.device_get(fmask_dev)).sum(axis=1).astype(int)
+            for i, name in enumerate(rb.names):
                 stem = os.path.splitext(os.path.basename(name))[0]
                 out = os.path.join(save_path, f"{stem}.pt")
-                pending.append(
-                    writer.submit(ptio.save_tensor, feats[i, : lengths[i]].copy(), out)
-                )
+                writer.submit(ptio.save_tensor, feats[i, : lengths[i]].copy(), out)
                 stats.n_utts += 1
-                stats.audio_seconds += len(w) / 16000.0
-        for f in pending:
-            f.result()
+                stats.audio_seconds += rb.lengths[i] / 16000.0
+
+        prev = None
+        for rb in stream:
+            stats.n_failed += rb.n_failed
+            if not rb.names:
+                continue
+            fwd = self._forward(rb.wav.shape, n_layer)
+            wav_d, mask_d = shard_batch(self.mesh, (jnp.asarray(rb.wav), jnp.asarray(rb.mask)))
+            out = fwd(self.params, wav_d, mask_d)  # async dispatch — no block
+            if prev is not None:
+                drain(prev)  # D2H of k-1 overlaps device compute of k
+            prev = (rb, *out)
+        if prev is not None:
+            drain(prev)
+        writer.drain()
         stats.wall_seconds = time.perf_counter() - t0
         return stats
 
@@ -286,6 +296,8 @@ class WhisperExtractionPipeline:
         return self._fwd
 
     def run(self, wav_dir: str, save_path: str, wav_names: Optional[Sequence[str]] = None) -> ExtractionStats:
+        """Streaming fixed-shape extraction (one compiled [B, 480000] step),
+        double-buffered like SpeechExtractionPipeline.run."""
         import time
 
         os.makedirs(save_path, exist_ok=True)
@@ -293,7 +305,6 @@ class WhisperExtractionPipeline:
             wav_names = sorted(os.listdir(wav_dir))
         stats = ExtractionStats()
         t0 = time.perf_counter()
-        pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
 
         def load(name):
             try:
@@ -303,34 +314,48 @@ class WhisperExtractionPipeline:
                 print(f"Failed to process {name}: {e}")
                 return None
 
-        waves = list(pool.map(load, wav_names))
-        ok = [(n, w) for n, w in zip(wav_names, waves) if w is not None]
-        stats.n_failed = len(wav_names) - len(ok)
+        # fixed-size chunks in name order (no length sort — every batch
+        # compiles to the same [batch_size, 30 s] shape)
+        bs = self.batch_size
+        plan = [
+            streaming.PlannedBatch(list(wav_names[i : i + bs]), [0] * len(wav_names[i : i + bs]))
+            for i in range(0, len(wav_names), bs)
+        ]
+        stream = streaming.BatchStream(
+            load, plan, bucket_quantum=self.N_SAMPLES, row_multiple=bs,
+            num_workers=self.num_workers, fixed_len=self.N_SAMPLES,
+        )
+        writer = streaming.BoundedWriter(num_workers=self.num_workers)
+        from ..parallel.mesh import shard_batch
 
-        writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
-        pending = []
         fwd = self._forward()
-        for start in range(0, len(ok), self.batch_size):
-            chunk = ok[start : start + self.batch_size]
-            B = len(chunk)
-            wav = np.zeros((self.batch_size, self.N_SAMPLES), np.float32)
-            for i, (_, w) in enumerate(chunk):
-                wav[i, : min(len(w), self.N_SAMPLES)] = w[: self.N_SAMPLES]
-            from ..parallel.mesh import shard_batch
 
-            (wav_d,) = shard_batch(self.mesh, (jnp.asarray(wav),))
-            feats = np.asarray(fwd(self.params, wav_d))
-            for i, (name, w) in enumerate(chunk):
-                n_frames = math.ceil(len(w) / 320)  # preprocess_whisper.py:50
+        def drain(item) -> None:
+            rb, feats_dev = item
+            feats = np.asarray(jax.device_get(feats_dev))
+            for i, name in enumerate(rb.names):
+                # true frame count, capped at the encoder's 1500 frames
+                # (preprocess_whisper.py:50, 75-76)
+                n_frames = min(math.ceil(rb.lengths[i] / 320), feats.shape[1])
                 stem = os.path.splitext(os.path.basename(name))[0]
                 out = os.path.join(save_path, f"{stem}.pt")
-                pending.append(
-                    writer.submit(ptio.save_tensor, feats[i, :n_frames].copy(), out)
-                )
+                writer.submit(ptio.save_tensor, feats[i, :n_frames].copy(), out)
                 stats.n_utts += 1
-                stats.audio_seconds += len(w) / 16000.0
-        for f in pending:
-            f.result()
+                stats.audio_seconds += rb.lengths[i] / 16000.0
+
+        prev = None
+        for rb in stream:
+            stats.n_failed += rb.n_failed
+            if not rb.names:
+                continue
+            (wav_d,) = shard_batch(self.mesh, (jnp.asarray(rb.wav),))
+            feats_dev = fwd(self.params, wav_d)  # async dispatch
+            if prev is not None:
+                drain(prev)
+            prev = (rb, feats_dev)
+        if prev is not None:
+            drain(prev)
+        writer.drain()
         stats.wall_seconds = time.perf_counter() - t0
         return stats
 

@@ -118,7 +118,13 @@ void resample(const std::vector<float>& in, int sr_in, int sr_out,
     return;
   }
   const double ratio = (double)sr_out / sr_in;
-  const size_t n_out = (size_t)((double)in.size() * ratio);
+  // ceil(n * sr_out / sr_in): scipy.signal.resample_poly's output length —
+  // the python fallback and the header-only batch planner
+  // (extract/streaming.py:planned_wav_len) both rely on this convention.
+  const size_t n_out =
+      (size_t)(((unsigned long long)in.size() * (unsigned long long)sr_out +
+                (unsigned long long)sr_in - 1) /
+               (unsigned long long)sr_in);
   const int half_taps = 16;
   const double cutoff = ratio < 1.0 ? ratio : 1.0;  // anti-alias when downsampling
   out->resize(n_out);
