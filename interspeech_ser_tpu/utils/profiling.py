@@ -5,14 +5,48 @@ timing with processed-audio-seconds accounting (reference:
 benchmark/train_eval_files/eval_cat_ser.py:158-180, eval_dim_ser.py:159-162).
 These helpers generalize that: a ``StepTimer`` accumulating named spans
 (TPU-aware — forces a readback so tunnel-async dispatch can't fake the
-numbers) and an ``RTFMeter`` for inference-time-per-audio-second.
+numbers), an ``RTFMeter`` for inference-time-per-audio-second, and
+``trace``/``annotate`` wrappers over ``jax.profiler`` for full XLA traces
+viewable in XProf/TensorBoard or Perfetto.
 """
 
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Dict, Optional
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/ser_tpu_trace", enabled: bool = True):
+    """Capture a ``jax.profiler`` device trace around the wrapped block.
+
+    Writes an XPlane/trace-event dump under ``log_dir`` (open with
+    TensorBoard's profile plugin or Perfetto). Set
+    ``SER_TPU_TRACE=/path`` in the environment to redirect, or
+    ``SER_TPU_TRACE=0`` / ``enabled=False`` to turn capture into a no-op
+    (so call sites can leave the context manager in place).
+    """
+    env = os.environ.get("SER_TPU_TRACE")
+    if env == "0" or not enabled:
+        yield
+        return
+    if env:
+        log_dir = env
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def annotate(name: str):
+    """Named ``TraceAnnotation`` context — spans show up on the trace
+    timeline inside a ``trace()`` capture (host side; device ops launched
+    within inherit the annotation via XLA metadata)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
 
 
 class StepTimer:
@@ -30,7 +64,8 @@ class StepTimer:
     @contextlib.contextmanager
     def span(self, name: str, result_getter=None):
         t0 = time.perf_counter()
-        yield
+        with annotate(name):
+            yield
         if result_getter is not None:
             # force a device readback: block_until_ready can return early
             # under tunneled runtimes (see utils docs / bench.py)

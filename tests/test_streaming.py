@@ -147,3 +147,27 @@ class TestBoundedWriter:
         w2.submit(lambda: (_ for _ in ()).throw(IOError("disk full")))
         with pytest.raises(IOError):
             w2.drain()
+
+
+class TestProfilingTrace:
+    def test_trace_writes_artifacts_and_annotate_nests(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        from interspeech_ser_tpu.utils import profiling
+
+        log_dir = str(tmp_path / "trace")
+        with profiling.trace(log_dir):
+            with profiling.annotate("unit_test_span"):
+                x = jnp.ones((8, 8))
+                float((x @ x).sum())
+        found = []
+        for root, _dirs, files in os.walk(log_dir):
+            found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz"))]
+        assert found, f"no profiler artifacts under {log_dir}"
+
+        # SER_TPU_TRACE=0 disables capture (no artifacts, no error)
+        off_dir = str(tmp_path / "off")
+        monkeypatch.setenv("SER_TPU_TRACE", "0")
+        with profiling.trace(off_dir):
+            pass
+        assert not os.path.exists(off_dir)
