@@ -28,17 +28,29 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
-# Measured on v5e (B16 H16 T512 D64, gated bias): XLA 0.82 ms vs Pallas
-# 1.82 ms — XLA's native attention fusion wins at encoder-zoo shapes (D=64
-# half-fills the MXU and the score tile stays in registers). The Pallas
-# kernel remains available (SER_TPU_FORCE_FLASH=1 or force_impl='flash')
-# for long-sequence / memory-bound regimes.
-def use_flash(tq: int, force_impl: Optional[str]) -> bool:
+# Measured on v5e (B16 H16 T512 D64, gated bias): XLA 0.82 ms vs the
+# recurrent Pallas flash kernel 1.82 ms — XLA's native attention fusion
+# wins at encoder-zoo shapes (D=64 half-fills the MXU and the score tile
+# stays in registers), so 'flash' stays opt-in for long-sequence regimes.
+# The one-shot short-T kernel (flash_attention_short.py) beat XLA by
+# ~6-9% at the isolated WavLM SDPA shape (2.51 vs 2.66 ms, B32 H16 T499)
+# but is VPU-bound on the softmax chain like XLA; selection is decided by
+# the measured END-TO-END extraction number (see the kernel's docstring).
+def pick_impl(tq: int, tk: int, force_impl: Optional[str]) -> str:
     if force_impl is not None:
-        return force_impl == "flash"
+        return force_impl
+    env = os.environ.get("SER_TPU_ATTN_IMPL")
+    if env:
+        return env
     if jax.default_backend() == "cpu":
-        return False  # interpret mode is test-only; XLA is faster on host
-    return os.environ.get("SER_TPU_FORCE_FLASH") == "1"
+        return "xla"  # interpret mode is test-only; XLA is faster on host
+    if os.environ.get("SER_TPU_FORCE_FLASH") == "1":
+        return "flash"
+    return "xla"
+
+
+def use_flash(tq: int, force_impl: Optional[str]) -> bool:
+    return pick_impl(tq, 0, force_impl) == "flash"
 
 
 def dot_product_attention(
@@ -57,12 +69,21 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     assert bias is None or shared_bias is None
 
-    if use_flash(q.shape[2], force_impl) and bias is None:
+    impl = pick_impl(q.shape[2], k.shape[2], force_impl)
+    if impl == "flash" and bias is None:
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(
             q, k, v, key_mask=key_mask, scale=scale, gate=gate, pos_bias=shared_bias
         )
+    if impl == "oneshot" and bias is None:
+        from .pallas.flash_attention_short import MAX_ONESHOT_TK, attention_bhtd
+
+        if k.shape[2] <= MAX_ONESHOT_TK:
+            return attention_bhtd(
+                q, k, v, key_mask=key_mask, scale=scale, gate=gate,
+                pos_bias=shared_bias,
+            )
 
     dtype = q.dtype
     # bf16 mode keeps the score/bias chain in bf16 (softmax still f32):

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from interspeech_ser_tpu.ops.attention_core import dot_product_attention
 from interspeech_ser_tpu.ops.pallas.flash_attention import flash_attention
+from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_bhtd
 
 RNG = np.random.default_rng(10)
 
@@ -73,3 +74,46 @@ class TestFlashAttention:
             np.asarray(ours, dtype=np.float32), np.asarray(ref, dtype=np.float32),
             atol=3e-2,
         )
+
+
+class TestOneShotShortAttention:
+    """One-shot VMEM kernel (flash_attention_short) vs the XLA path.
+
+    Opt-in kernel (SER_TPU_ATTN_IMPL=oneshot): e2e-slower than XLA on
+    v5e extraction (see module docstring) but kept correct + tested for
+    memory-bound regimes.
+    """
+
+    def test_matches_xla_masked(self):
+        q, k, v = _qkv(Tk=300)
+        mask = np.ones((2, 300), np.float32)
+        mask[0, 210:] = 0
+        mask[1, 77:] = 0
+        ref = dot_product_attention(q, k, v, key_mask=jnp.asarray(mask), force_impl="xla")
+        ours = attention_bhtd(q, k, v, key_mask=jnp.asarray(mask), interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_matches_xla_with_factored_bias(self):
+        B, H, T, D = 2, 4, 300, 64
+        q, k, v = _qkv(B, H, T, T, D)
+        gate = jnp.asarray(RNG.uniform(0.5, 2.0, size=(B, H, T)).astype(np.float32))
+        pos_bias = jnp.asarray(RNG.normal(size=(H, T, T)).astype(np.float32))
+        mask = np.ones((B, T), np.float32)
+        mask[1, 250:] = 0
+        ref = dot_product_attention(
+            q, k, v, key_mask=jnp.asarray(mask), gate=gate, shared_bias=pos_bias,
+            force_impl="xla",
+        )
+        ours = attention_bhtd(
+            q, k, v, key_mask=jnp.asarray(mask), gate=gate, pos_bias=pos_bias,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_dispatch_via_attention_core(self):
+        q, k, v = _qkv(Tq=200, Tk=200)
+        mask = jnp.ones((2, 200), jnp.float32)
+        ref = dot_product_attention(q, k, v, key_mask=mask, force_impl="xla")
+        # force_impl plumbs through pick_impl; interpret auto-enables on cpu
+        ours = dot_product_attention(q, k, v, key_mask=mask, force_impl="oneshot")
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
