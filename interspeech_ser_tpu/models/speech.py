@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention_core import dot_product_attention
+from ..ops.attention_core import dot_product_attention_btd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,6 +215,11 @@ class ConvFeatureExtractor(nn.Module):
                     out_ch, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
                     dtype=dt, param_dtype=jnp.float32, name=f"conv{i}",
                 )(x)
+            # inter-layer norms stay f32: a bf16-normalize variant was
+            # measured DEAD EVEN (scripts/exp_convln.py — frontend 23.63
+            # vs 23.52 ms, e2e 286.7 vs 286.5 utt/s, B=32) because XLA
+            # already fuses the f32 LN round-trip into the conv epilogue;
+            # keep the numerically-wider form since it costs nothing
             if cfg.feat_extract_norm == "group" and i == 0:
                 x = nn.GroupNorm(
                     num_groups=out_ch, epsilon=1e-5, dtype=jnp.float32,
@@ -310,12 +315,12 @@ class SpeechSelfAttention(nn.Module):
         dt = cfg.compute_dtype
         B, T, _ = x.shape
 
+        # projections stay in [B, T, D]; head split happens inside the
+        # attention core (the oneshot2 kernel slices head columns via its
+        # BlockSpec index map, other impls transpose and XLA fuses it)
         q = _proj_dense(cfg, D, "q_proj")(x)
         k = _proj_dense(cfg, D, "k_proj")(x)
         v = _proj_dense(cfg, D, "v_proj")(x)
-        q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
 
         gate_out = None
         if cfg.attention_type == "wavlm":
@@ -347,11 +352,10 @@ class SpeechSelfAttention(nn.Module):
 
         # bias stays FACTORED (gate · pos_bias): the flash kernel streams it
         # tile-by-tile instead of materializing [B,H,T,T] in HBM
-        out = dot_product_attention(
-            q, k, v, key_mask=key_mask, gate=gate_out,
+        out = dot_product_attention_btd(
+            q, k, v, H, key_mask=key_mask, gate=gate_out,
             shared_bias=position_bias if cfg.attention_type == "wavlm" else None,
         )
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = _proj_dense(cfg, D, "out_proj")(out)
         return out, position_bias
 

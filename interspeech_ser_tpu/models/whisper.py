@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention_core import dot_product_attention
+from ..ops.attention_core import dot_product_attention_btd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,11 +74,9 @@ class _WhisperAttention(nn.Module):
         q = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="q_proj")(x)
         k = nn.Dense(D, use_bias=False, dtype=dt, param_dtype=jnp.float32, name="k_proj")(x)
         v = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="v_proj")(x)
-        q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-        out = dot_product_attention(q, k, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        # head split happens inside the attention core ([B,T,D] entry —
+        # the oneshot2 kernel consumes projection layout directly)
+        out = dot_product_attention_btd(q, k, v, H)
         return nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="out_proj")(out)
 
 

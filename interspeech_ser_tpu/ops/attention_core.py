@@ -53,6 +53,68 @@ def use_flash(tq: int, force_impl: Optional[str]) -> bool:
     return pick_impl(tq, 0, force_impl) == "flash"
 
 
+def dot_product_attention_btd(
+    q: jnp.ndarray,  # [B, Tq, D] — projection layout, D = H * hd
+    k: jnp.ndarray,  # [B, Tk, D]
+    v: jnp.ndarray,  # [B, Tk, D]
+    num_heads: int,
+    key_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    gate: Optional[jnp.ndarray] = None,  # [B, H, Tq]
+    shared_bias: Optional[jnp.ndarray] = None,  # [H, Tq, Tk]
+    force_impl: Optional[str] = None,
+) -> jnp.ndarray:  # [B, Tq, D]
+    """SDPA on [B, T, D] projection outputs (heads never materialized).
+
+    The 'oneshot2' Pallas kernel consumes the projection layout directly
+    (head = lane-column slice via the BlockSpec index map), so no
+    [B, H, T, hd] transposes exist around the custom call — the v1
+    kernel's e2e regression. Other impls reshape/transpose here and XLA
+    fuses those into the surrounding einsums as before.
+    """
+    B, Tq, D = q.shape
+    H = num_heads
+    hd = D // H
+    impl = pick_impl(Tq, k.shape[1], force_impl)
+    if (
+        impl == "xla"
+        and force_impl is None
+        and os.environ.get("SER_TPU_ATTN_IMPL") is None
+        and q.dtype == jnp.bfloat16
+        and jax.default_backend() not in ("cpu",)
+        and len(jax.devices()) == 1
+    ):
+        # measured default: the one-shot [B,T,D] kernel wins WavLM-large
+        # extraction 274.2 vs 252.9 utt/s on v5e (scripts/exp_attn_btd.py).
+        # Single-device only — a Pallas custom call does not auto-partition
+        # under GSPMD, so sharded meshes keep the XLA path.
+        impl = "oneshot2"
+    if impl == "oneshot2":
+        from .pallas.flash_attention_short import (
+            MAX_ONESHOT_TK,
+            VmemBudgetError,
+            attention_btd,
+        )
+
+        if k.shape[1] <= MAX_ONESHOT_TK:
+            try:
+                return attention_btd(
+                    q, k, v, num_heads, key_mask=key_mask, scale=scale,
+                    gate=gate, pos_bias=shared_bias,
+                )
+            except VmemBudgetError:
+                pass
+        impl = "xla"
+    qh = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+    out = dot_product_attention(
+        qh, kh, vh, key_mask=key_mask, scale=scale, gate=gate,
+        shared_bias=shared_bias, force_impl=impl,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+
+
 def dot_product_attention(
     q: jnp.ndarray,  # [B, H, Tq, Dh]
     k: jnp.ndarray,  # [B, H, Tk, Dh]

@@ -23,19 +23,19 @@ Key structural points:
   the score tile in VMEM (reference semantics: models/speech.py
   gru_rel_pos gating).
 
-MEASURED RESULT (v5e, WavLM-large SDPA shape B32/H16/T499/hd64, bf16):
-isolated kernel 2.51 ms vs XLA 2.66 ms (~6% faster; a head-batched
-hb=4 variant measured 2.56 — within noise). But END-TO-END WavLM
-extraction REGRESSES: 220.8 utt/s with the kernel vs 254.9 with XLA —
-the custom call forces [B,H,T,hd] layout materialization of q/k/v/out
-and breaks XLA's fusion of the projections/score chain, which costs
-more than the kernel saves. Both kernels are VPU-bound on the softmax
-elementwise passes (~8 passes over the [512,512] f32 tile per head),
-not on the score matmuls, so there is little headroom to win back.
-Hence XLA remains the production default (see attention_core.pick_impl)
-and this kernel is kept as a tested opt-in (SER_TPU_ATTN_IMPL=oneshot)
-for memory-bound regimes, mirroring the round-2 recurrent-flash result
-(197 vs 248 utt/s).
+MEASURED RESULTS (v5e, WavLM-large, bf16):
+- v1 ``attention_bhtd`` (grid (B, nq, H), [B,H,T,hd] blocks): isolated
+  kernel 2.51 ms vs XLA 2.66 ms (~6% faster), but END-TO-END extraction
+  REGRESSED 220.8 vs 254.9 utt/s — the custom call forces [B,H,T,hd]
+  layout materialization of q/k/v/out and breaks XLA's fusion of the
+  projection chain. Kept as a tested opt-in (SER_TPU_ATTN_IMPL=oneshot).
+- v2 ``attention_btd`` (grid (B, nq), [B,T,D] projection-layout panels,
+  unrolled in-kernel head sweep, mask pre-folded additive, ~4 VPU
+  passes instead of ~8): end-to-end WavLM extraction 274.2 vs 252.9
+  utt/s (+8.4%, scripts/exp_attn_btd.py + bench_zoo A/B). This is the
+  DEFAULT for single-device bf16 TPU runs (attention_core.
+  dot_product_attention_btd); sharded meshes keep XLA because a Pallas
+  custom call does not auto-partition under GSPMD.
 """
 
 from __future__ import annotations
@@ -48,6 +48,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
+
+
+class VmemBudgetError(ValueError):
+    """Raised when a shape cannot be blocked into the VMEM budget; the
+    attention-core dispatcher falls back to the XLA path."""
 
 
 def _kernel(
@@ -93,14 +98,16 @@ def _kernel_nobias(q_ref, k_ref, v_ref, mask_ref, out_ref, **kw):
     _kernel(q_ref, k_ref, v_ref, mask_ref, None, None, out_ref, **kw)
 
 
-def _pad_axis(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+def _pad_axis(
+    x: jnp.ndarray, axis: int, multiple: int, pad_value: float = 0.0
+) -> jnp.ndarray:
     size = x.shape[axis]
     target = ((size + multiple - 1) // multiple) * multiple
     if target == size:
         return x
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, target - size)
-    return jnp.pad(x, pads)
+    return jnp.pad(x, pads, constant_values=pad_value)
 
 
 # VMEM budget at the WavLM ceiling (T=512, H=16, bq=512): bias panel
@@ -108,6 +115,202 @@ def _pad_axis(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
 # blocks [512,64] ≈ 0.3 MB — ~10.5 MB of the ~16 MB/core VMEM. Whisper
 # (no bias, T=1536) is far under.
 MAX_ONESHOT_TK = 2048
+
+# full-D blocking is preferred below this estimate (K/V fetched once per
+# batch row and shared by every head); the scoped-VMEM compiler limit is
+# raised to _VMEM_LIMIT accordingly (v5e: 128 MiB physical)
+_VMEM_BUDGET = 32 * 2 ** 20
+_VMEM_LIMIT = 64 * 2 ** 20
+
+
+def _kernel_btd(
+    q_ref,  # [1, bq, D] — full projection panel, D = H·hd
+    k_ref,  # [1, Tk, D]
+    v_ref,  # [1, Tk, D]
+    madd_ref,  # [1, 1, Tk] additive mask (0 attend / -1e9 masked)
+    gate_ref,  # [1, H, bq] or absent
+    bias_ref,  # [H, bq, Tk] or absent (full-H, VMEM-resident across b)
+    out_ref,  # [1, bq, D]
+    *,
+    scale: float,
+    has_bias: bool,
+    num_heads: int,
+):
+    """One-shot SDPA on projection-layout panels, minimal VPU passes.
+
+    Differences vs ``_kernel`` (measured VPU-bound at ~8 elementwise
+    passes over the [bq, Tk] f32 tile):
+    - mask arrives pre-folded as an additive bias → no ``where`` pass;
+    - scale is applied to the small [bq, hd] q slice, not the score tile;
+    - bias+gate+mask fold into ONE fused elementwise expression;
+    - the head sweep is an unrolled in-kernel loop over STATIC lane
+      slices of [bq, D] panels, so q/k/v/out stay in the layout the
+      projections produce (no transposes around the custom call — the
+      v1 kernel's e2e regression) and K/V panels are fetched once per
+      batch row, not once per head.
+    """
+    D = q_ref.shape[-1]
+    hd = D // num_heads
+    madd = madd_ref[0, 0].astype(jnp.float32)  # [Tk]
+    sc = jnp.asarray(scale, q_ref.dtype)
+    for h in range(num_heads):
+        lo, hi = h * hd, (h + 1) * hd
+        q = q_ref[0, :, lo:hi] * sc  # [bq, hd]
+        k = k_ref[0, :, lo:hi]  # [Tk, hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, Tk] f32
+        if has_bias:
+            gate = gate_ref[0, h].astype(jnp.float32)  # [bq]
+            bias = bias_ref[h].astype(jnp.float32)  # [bq, Tk]
+            s = s + (gate[:, None] * bias + madd[None, :])
+        else:
+            s = s + madd[None, :]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, lo:hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, hd] f32
+        out_ref[0, :, lo:hi] = (o / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _kernel_btd_nobias(q_ref, k_ref, v_ref, madd_ref, out_ref, **kw):
+    _kernel_btd(q_ref, k_ref, v_ref, madd_ref, None, None, out_ref, **kw)
+
+
+def attention_btd(
+    q: jnp.ndarray,  # [B, Tq, D] — projection layout, D = H * hd
+    k: jnp.ndarray,  # [B, Tk, D]
+    v: jnp.ndarray,  # [B, Tk, D]
+    num_heads: int,
+    key_mask: Optional[jnp.ndarray] = None,  # [B, Tk], 1 = attend
+    scale: Optional[float] = None,
+    gate: Optional[jnp.ndarray] = None,  # [B, H, Tq] factored-bias gate
+    pos_bias: Optional[jnp.ndarray] = None,  # [H, Tq, Tk] shared bias
+    block_q: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:  # [B, Tq, D]
+    """One-shot masked SDPA straight on [B, T, D] projection outputs.
+
+    Heads are column slices selected by the BlockSpec index map (lane
+    offset h*hd), so q/k/v/out never leave the layout the projections
+    produce — the v1 kernel's [B, H, T, hd] transposes (which cost more
+    e2e than the kernel saved) disappear entirely.
+    """
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    H = num_heads
+    assert D % H == 0
+    hd = D // H
+    assert Tk <= MAX_ONESHOT_TK, f"Tk={Tk}: use the recurrent flash kernel"
+    if scale is None:
+        scale = hd ** -0.5
+    has_bias = pos_bias is not None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    block_q = min(block_q, ((Tq + 127) // 128) * 128)
+    # VMEM at bq: q/out panels 2·bq·D + k/v panels 2·Tk·D (dtype bytes,
+    # double-buffered ×2) + resident bias H·bq·Tk + 2 f32 score tiles
+    itemsize = q.dtype.itemsize
+
+    # VMEM estimate (double-buffered q/out and k/v panels, resident bias,
+    # two f32 score tiles). v5e has 128 MiB physical VMEM; the compiler's
+    # default scoped limit is 16 MiB, raised below via CompilerParams.
+    def vmem_full_d(bq: int) -> int:
+        return (
+            2 * 2 * (bq + Tk) * D * itemsize
+            + (H * bq * Tk * itemsize if has_bias else 0)
+            + 8 * bq * Tk
+        )
+
+    while block_q > 128 and vmem_full_d(block_q) > _VMEM_BUDGET:
+        block_q //= 2
+    full_d_fits = vmem_full_d(block_q) <= _VMEM_BUDGET
+
+    # lane-blocked fallback (very large D·Tk, no bias): block width =
+    # the smallest multiple of 128 covering whole heads
+    import math
+
+    lane_w = (hd * 128) // math.gcd(hd, 128)
+    if not full_d_fits and (has_bias or D % lane_w != 0):
+        raise VmemBudgetError(
+            f"one-shot BTD attention does not fit VMEM at Tq={Tq} Tk={Tk} "
+            f"D={D} has_bias={has_bias}"
+        )
+
+    qp = _pad_axis(q, 1, block_q)
+    kp = _pad_axis(k, 1, 128)
+    vp = _pad_axis(v, 1, 128)
+    Tq_p, Tk_p = qp.shape[1], kp.shape[1]
+    n_q = Tq_p // block_q
+
+    if key_mask is None:
+        key_mask = jnp.ones((B, Tk), jnp.float32)
+    # additive mask: 0 = attend, NEG_INF = masked (padded keys included)
+    madd = _pad_axis(
+        jnp.where(key_mask > 0, 0.0, NEG_INF).astype(jnp.float32), 1, Tk_p,
+        pad_value=NEG_INF,
+    )[:, None, :]
+
+    if full_d_fits:
+        in_specs = [
+            pl.BlockSpec((1, block_q, D), lambda b, iq: (b, iq, 0)),
+            pl.BlockSpec((1, Tk_p, D), lambda b, iq: (b, 0, 0)),
+            pl.BlockSpec((1, Tk_p, D), lambda b, iq: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tk_p), lambda b, iq: (b, 0, 0)),
+        ]
+        inputs = [qp, kp, vp, madd]
+        if has_bias:
+            if gate is None:
+                gate = jnp.ones((B, H, Tq), jnp.float32)
+            gate_p = _pad_axis(gate, 2, block_q)  # [B, H, Tq_p]
+            bias_p = _pad_axis(
+                _pad_axis(pos_bias, 1, block_q), 2, Tk_p
+            ).astype(q.dtype)
+            in_specs += [
+                pl.BlockSpec((1, H, block_q), lambda b, iq: (b, 0, iq)),
+                pl.BlockSpec((H, block_q, Tk_p), lambda b, iq: (0, iq, 0)),
+            ]
+            inputs += [gate_p, bias_p]
+        kernel = functools.partial(
+            _kernel_btd if has_bias else _kernel_btd_nobias,
+            scale=float(scale), has_bias=has_bias, num_heads=H,
+        )
+        grid = (B, n_q)
+        out_spec = pl.BlockSpec((1, block_q, D), lambda b, iq: (b, iq, 0))
+    else:
+        # grid (b, head-block, iq): K/V lane panels stay resident across
+        # the query sweep; each call handles lane_w // hd whole heads
+        n_hb = D // lane_w
+        in_specs = [
+            pl.BlockSpec((1, block_q, lane_w), lambda b, hb, iq: (b, iq, hb)),
+            pl.BlockSpec((1, Tk_p, lane_w), lambda b, hb, iq: (b, 0, hb)),
+            pl.BlockSpec((1, Tk_p, lane_w), lambda b, hb, iq: (b, 0, hb)),
+            pl.BlockSpec((1, 1, Tk_p), lambda b, hb, iq: (b, 0, 0)),
+        ]
+        inputs = [qp, kp, vp, madd]
+        kernel = functools.partial(
+            _kernel_btd_nobias,
+            scale=float(scale), has_bias=False, num_heads=lane_w // hd,
+        )
+        grid = (B, n_hb, n_q)
+        out_spec = pl.BlockSpec((1, block_q, lane_w), lambda b, hb, iq: (b, iq, hb))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Tq_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :Tq]
 
 
 def attention_bhtd(

@@ -117,3 +117,72 @@ class TestOneShotShortAttention:
         # force_impl plumbs through pick_impl; interpret auto-enables on cpu
         ours = dot_product_attention(q, k, v, key_mask=mask, force_impl="oneshot")
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+class TestOneShotBTDAttention:
+    """v2 kernel on [B, T, D] projection-layout inputs (oneshot2)."""
+
+    def _btd(self, B=2, H=4, Tq=300, Tk=300, hd=64):
+        D = H * hd
+        q = jnp.asarray(RNG.normal(size=(B, Tq, D)).astype(np.float32))
+        k = jnp.asarray(RNG.normal(size=(B, Tk, D)).astype(np.float32))
+        v = jnp.asarray(RNG.normal(size=(B, Tk, D)).astype(np.float32))
+        return q, k, v
+
+    def _ref(self, q, k, v, H, **kw):
+        B, Tq, D = q.shape
+        hd = D // H
+        qh = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
+        out = dot_product_attention(qh, kh, vh, force_impl="xla", **kw)
+        return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+
+    def test_matches_xla_masked(self):
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        q, k, v = self._btd()
+        mask = np.ones((2, 300), np.float32)
+        mask[0, 210:] = 0
+        mask[1, 77:] = 0
+        ref = self._ref(q, k, v, 4, key_mask=jnp.asarray(mask))
+        ours = attention_btd(q, k, v, 4, key_mask=jnp.asarray(mask), interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_matches_xla_with_factored_bias(self):
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        B, H, T, hd = 2, 4, 300, 64
+        q, k, v = self._btd(B, H, T, T, hd)
+        gate = jnp.asarray(RNG.uniform(0.5, 2.0, size=(B, H, T)).astype(np.float32))
+        pos_bias = jnp.asarray(RNG.normal(size=(H, T, T)).astype(np.float32))
+        mask = np.ones((B, T), np.float32)
+        mask[1, 250:] = 0
+        ref = self._ref(
+            q, k, v, H, key_mask=jnp.asarray(mask), gate=gate, shared_bias=pos_bias
+        )
+        ours = attention_btd(
+            q, k, v, H, key_mask=jnp.asarray(mask), gate=gate, pos_bias=pos_bias,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_nonsquare_head_dim(self):
+        # HuBERT-XL shape: hd=80 (non-power-of-two lane block)
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        q, k, v = self._btd(B=2, H=4, Tq=130, Tk=130, hd=80)
+        ref = self._ref(q, k, v, 4)
+        ours = attention_btd(q, k, v, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_dispatch_via_attention_core_btd(self):
+        from interspeech_ser_tpu.ops.attention_core import dot_product_attention_btd
+
+        q, k, v = self._btd(Tq=200, Tk=200)
+        mask = jnp.ones((2, 200), jnp.float32)
+        ref = self._ref(q, k, v, 4, key_mask=mask)
+        ours = dot_product_attention_btd(
+            q, k, v, 4, key_mask=mask, force_impl="oneshot2"
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
