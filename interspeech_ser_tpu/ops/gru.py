@@ -142,13 +142,14 @@ class BiGRU(nn.Module):
         B = x.shape[0]
         h0 = jnp.zeros((B, H), dtype=jnp.float32)
         if use_kernel:
-            # fused inference path: both directions ride ONE Pallas kernel —
-            # the recurrence is latency-bound, so stacking fwd + (reversed)
+            # fused path: both directions ride ONE Pallas kernel — the
+            # recurrence is latency-bound, so stacking fwd + (reversed)
             # bwd along batch doubles work per step at the same serial
             # latency (22% faster already single-direction vs lax.scan on
-            # v5e; ~2x with the direction stack).
-            from .pallas.gru_kernel import gru_sequence
-
+            # v5e; ~2x with the direction stack). Differentiable: the
+            # kernel carries a custom_vjp (pallas/gru_kernel.py), so this
+            # serves training too — but only on a SINGLE device (a Pallas
+            # custom call does not auto-partition under GSPMD).
             def proj(x_, w_ih, b_ih):
                 return (
                     jax.lax.dot_general(

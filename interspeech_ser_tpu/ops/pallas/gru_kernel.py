@@ -10,12 +10,16 @@ scratch, and the per-step input projections stream in as blocks.
 
 Same torch gate math as ops/gru.gru_scan (r, z, n order; hidden bias
 inside the reset product); masked carry-freeze semantics included.
-Forward-only (extraction / frozen-GRU paths); training falls back to the
-scan (autodiff through pallas sequential grids is future work).
+The bidirectional variant is DIFFERENTIABLE: ``gru_bidir_carries``
+carries a custom_vjp whose backward is a hand-derived reverse
+``lax.scan`` recomputing gates from the emitted carry sequence, so the
+kernel serves the training path too (single-direction ``gru_sequence``
+stays forward-only).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -112,24 +116,24 @@ def _kernel_bidir(x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, *, hidden: int
     m = m_ref[0]
     h_next = m * h_new + (1.0 - m) * h
     h_scr[:] = h_next
-    out_ref[0] = (h_next * m).astype(out_ref.dtype)
+    # UNMASKED carry emitted (masked steps hold the frozen carry); the
+    # wrapper multiplies by the mask outside — keeping the multiply out of
+    # the custom_vjp means the backward receives d(carry) with the mask
+    # factor already applied by autodiff, and the carry sequence doubles
+    # as the training residual (no second output needed)
+    out_ref[0] = h_next.astype(out_ref.dtype)
 
 
-def gru_sequence_bidir(
-    x_proj: jnp.ndarray,  # [2B, T, 3H]: rows [:B] fwd, [B:] time-reversed bwd
+def _bidir_carries_impl(
+    x_proj: jnp.ndarray,  # [2B, T, 3H]
     w_hh2: jnp.ndarray,  # [2, H, 3H]
     b_hh2: jnp.ndarray,  # [2, 3H]
     mask: jnp.ndarray,  # [2B, T]
-    half: int,  # B
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Both GRU directions in ONE sequential-grid kernel → [2B, T, H].
-
-    The recurrence is latency-bound; stacking the directions doubles the
-    per-step MXU work at the same step latency.
-    """
+    interpret: Optional[bool],
+) -> jnp.ndarray:  # [2B, T, H] unmasked carries
     B2, T, H3 = x_proj.shape
     H = H3 // 3
+    half = B2 // 2
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     xs = jnp.swapaxes(x_proj.astype(jnp.float32), 0, 1)  # [T, 2B, 3H]
@@ -153,3 +157,123 @@ def gru_sequence_bidir(
     )(xs, ms, w_hh2.astype(jnp.float32), b_hh2.astype(jnp.float32)[:, None, :])
 
     return jnp.swapaxes(out, 0, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_bidir_carries(x_proj, w_hh2, b_hh2, mask, interpret=None):
+    """Differentiable fused bidirectional GRU → UNMASKED carries [2B, T, H].
+
+    Forward runs the sequential-grid Pallas kernel (recurrent weights
+    VMEM-resident, both directions batch-stacked); backward is a
+    hand-derived reverse ``lax.scan`` that recomputes the gates from the
+    saved carry sequence (no storage beyond the carries the kernel
+    already emits). This makes the kernel usable on the TRAINING path —
+    the scan-fwd + autodiff-bwd recurrence was the fusion train step's
+    latency bound (29.7 ms/step at bs64 before this).
+    """
+    return _bidir_carries_impl(x_proj, w_hh2, b_hh2, mask, interpret)
+
+
+def _gru_bidir_fwd(x_proj, w_hh2, b_hh2, mask, interpret):
+    h = _bidir_carries_impl(x_proj, w_hh2, b_hh2, mask, interpret)
+    return h, (x_proj, w_hh2, b_hh2, mask, h)
+
+
+def _gru_bidir_bwd(interpret, res, g):
+    """Reverse-time GRU backward, gates recomputed from saved carries.
+
+    Per step (forward gate math in ops/gru.py — torch r,z,n order, n-gate
+    hidden bias inside the reset product):
+      h_t = m·h_new + (1-m)·h_{t-1},  h_new = (1-z)·n + z·h_{t-1}
+    so d h_new = d h_t · m and the (1-m) skip passes gradient straight
+    through the frozen carry at masked steps — which is exactly what
+    makes batched-padded grads equal per-utterance unpadded grads.
+
+    MEASURED (v5e, production fusion train step bs64, whisper1280-T512 +
+    roberta1024-T80, scripts/exp_gru_train.py): scan fwd + autodiff bwd
+    29.9 ms/step; kernel fwd + this bwd 31.0 ms/step (0.97x — NEGATIVE).
+    A variant that hoisted the gate recompute and dW_hh into
+    whole-sequence MXU ops (one matmul per backward step) was WORSE
+    still (40.1 ms): the [T,2,B,3H] f32 coefficient tensors cost ~1 GB
+    of HBM round-trips, swamping the matmuls saved. So: training keeps
+    the lax.scan (engine._use_gru_kernel applies the kernel to eval
+    only); this vjp stays as a tested, correct opt-in — the remaining
+    idea with headroom is a sequential-grid Pallas BACKWARD kernel
+    (weights + dW accumulator VMEM-resident), mirroring the forward win.
+    """
+    del interpret
+    x_proj, w_hh2, b_hh2, mask, h = res
+    B2, T, H3 = x_proj.shape
+    H = H3 // 3
+    B = B2 // 2
+    f32 = jnp.float32
+
+    def tm(a, width):  # [2B, T, w] → time-major direction-split [T, 2, B, w]
+        return jnp.swapaxes(a, 0, 1).reshape(T, 2, B, width)
+
+    xs = tm(x_proj.astype(f32), H3)
+    gs = tm(g.astype(f32), H)
+    hs = tm(h.astype(f32), H)
+    ms = tm(mask.astype(f32)[:, :, None], 1)
+    h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    whh = w_hh2.astype(f32)  # [2, H, 3H]
+    bhh = b_hh2.astype(f32)  # [2, 3H]
+
+    def step(carry, inp):
+        dh, dwhh, dbhh = carry
+        g_t, hprev, xp_t, m_t = inp  # [2,B,H] [2,B,H] [2,B,3H] [2,B,1]
+        hp = jnp.einsum("dbh,dhk->dbk", hprev, whh) + bhh[:, None, :]
+        r = jax.nn.sigmoid(xp_t[..., :H] + hp[..., :H])
+        z = jax.nn.sigmoid(xp_t[..., H : 2 * H] + hp[..., H : 2 * H])
+        hn = hp[..., 2 * H :]
+        n = jnp.tanh(xp_t[..., 2 * H :] + r * hn)
+        dht = g_t + dh
+        dh_new = dht * m_t
+        dh_skip = dht * (1.0 - m_t)
+        dn_pre = dh_new * (1.0 - z) * (1.0 - n * n)
+        dz_pre = dh_new * (hprev - n) * z * (1.0 - z)
+        dr_pre = dn_pre * hn * r * (1.0 - r)
+        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+        dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+        dh_out = dh_skip + dh_new * z + jnp.einsum("dbk,dhk->dbh", dhp, whh)
+        dwhh = dwhh + jnp.einsum("dbh,dbk->dhk", hprev, dhp)
+        dbhh = dbhh + jnp.sum(dhp, axis=1)
+        return (dh_out, dwhh, dbhh), dxp
+
+    init = (
+        jnp.zeros((2, B, H), f32),
+        jnp.zeros_like(whh),
+        jnp.zeros_like(bhh),
+    )
+    (_, dwhh, dbhh), dxps = jax.lax.scan(
+        step, init, (gs, h_prev, xs, ms), reverse=True, unroll=8
+    )
+    dxp = jnp.swapaxes(dxps.reshape(T, B2, H3), 0, 1).astype(x_proj.dtype)
+    return (
+        dxp,
+        dwhh.astype(w_hh2.dtype),
+        dbhh.astype(b_hh2.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+gru_bidir_carries.defvjp(_gru_bidir_fwd, _gru_bidir_bwd)
+
+
+def gru_sequence_bidir(
+    x_proj: jnp.ndarray,  # [2B, T, 3H]: rows [:B] fwd, [B:] time-reversed bwd
+    w_hh2: jnp.ndarray,  # [2, H, 3H]
+    b_hh2: jnp.ndarray,  # [2, 3H]
+    mask: jnp.ndarray,  # [2B, T]
+    half: int,  # B (kept for call-site clarity; derived internally)
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Both GRU directions in ONE sequential-grid kernel → [2B, T, H],
+    zeros at masked steps. Differentiable (``gru_bidir_carries`` vjp).
+
+    The recurrence is latency-bound; stacking the directions doubles the
+    per-step MXU work at the same step latency.
+    """
+    del half
+    h = gru_bidir_carries(x_proj, w_hh2, b_hh2, mask, interpret)
+    return h * mask.astype(h.dtype)[:, :, None]

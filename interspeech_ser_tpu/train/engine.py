@@ -290,6 +290,16 @@ class FusionEngine:
             use_gru_kernel=use_gru_kernel,
         )
 
+    def _use_gru_kernel(self) -> bool:
+        # fused GRU kernel: single real device only (a Pallas custom call
+        # does not auto-partition under GSPMD). EVAL path only: the kernel
+        # is differentiable (custom_vjp, pallas/gru_kernel.py) but the
+        # measured train step LOSES with it — 31.0 vs 29.9 ms/step at
+        # production bs64 shapes (scripts/exp_gru_train.py) — because the
+        # hand backward re-derives gates the autodiff scan gets as saved
+        # residuals; training keeps the lax.scan.
+        return jax.default_backend() == "tpu" and self.mesh.size == 1
+
     def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
         feats, masks, labels, sample_mask, aux_y = batch_dev
         out = self._apply_model(params, feats, masks, deterministic, dropout_key)
@@ -384,9 +394,7 @@ class FusionEngine:
         if shape_sig in self._eval_step_cache:
             return self._eval_step_cache[shape_sig]
 
-        # fused Pallas GRU on the inference path (TPU only; the scan path
-        # remains the training/autodiff route)
-        use_gru_kernel = jax.default_backend() == "tpu"
+        use_gru_kernel = self._use_gru_kernel()
 
         def step(params, feats, masks):
             return self._apply_model(

@@ -65,6 +65,60 @@ class TestBiGRUFusedKernel:
         ours = model.apply({"params": params}, x, jnp.asarray(mask), use_kernel=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
 
+    def test_bigru_kernel_grads_match_scan(self):
+        """custom_vjp backward == autodiff-through-scan backward.
+
+        Covers every cotangent: params (w_ih/w_hh/b_ih/b_hh both
+        directions) AND the input sequence, with ragged masking so the
+        carry-freeze gradient path is exercised.
+        """
+        from interspeech_ser_tpu.ops.gru import BiGRU
+
+        B, T, I, H = 3, 17, 10, 8
+        x = jnp.asarray(RNG.normal(size=(B, T, I)).astype(np.float32))
+        mask = np.zeros((B, T), np.float32)
+        for i, l in enumerate((17, 11, 6)):
+            mask[i, :l] = 1
+        mask = jnp.asarray(mask)
+        model = BiGRU(hidden_dim=H)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        # weight the loss per position so output cotangents are non-uniform
+        w = jnp.asarray(RNG.normal(size=(B, T, 2 * H)).astype(np.float32))
+
+        def loss(p, x_, use_kernel):
+            out = model.apply({"params": p}, x_, mask, use_kernel=use_kernel)
+            return jnp.sum(out * w) + jnp.sum(jnp.tanh(out))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(params, x, False)
+        g_ker = jax.grad(loss, argnums=(0, 1))(params, x, True)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_ker = jax.tree_util.tree_leaves(g_ker)
+        for (path, a), b in zip(flat_ref, flat_ker):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-5,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+            )
+
+    def test_bigru_kernel_grads_zero_beyond_mask(self):
+        """No gradient may flow to inputs at padded frames."""
+        from interspeech_ser_tpu.ops.gru import BiGRU
+
+        B, T, I, H = 2, 11, 6, 8
+        x = jnp.asarray(RNG.normal(size=(B, T, I)).astype(np.float32))
+        mask = np.ones((B, T), np.float32)
+        mask[1, 7:] = 0
+        model = BiGRU(hidden_dim=H)
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+        def loss(x_):
+            out = model.apply(
+                {"params": params}, x_, jnp.asarray(mask), use_kernel=True
+            )
+            return jnp.sum(out ** 2)
+
+        gx = np.asarray(jax.grad(loss)(x))
+        assert np.abs(gx[1, 7:]).max() == 0.0
+
 
 class TestPosConvKernel:
     def test_matches_xla_grouped_conv(self):
