@@ -84,9 +84,27 @@ def formant_shift_sampler(ratio: float, rng: Optional[np.random.Generator] = Non
     return float(shift)
 
 
-def _formant_shift_dsp(wav: np.ndarray, sr: int, shift: float) -> np.ndarray:
-    """Spectral-envelope warp: magnitude envelope resampled by ``shift``
-    along frequency, original phase kept (Praat-free approximation)."""
+def _formant_shift_dsp(
+    wav: np.ndarray, sr: int, shift: float, lift: int = 40
+) -> np.ndarray:
+    """Source-filter spectral-envelope warp (Praat-free approximation of
+    'Change gender' at formant ratio ``shift``, pitch factors 1.0).
+
+    Per STFT frame the log-magnitude is split into a cepstrally-smoothed
+    envelope (quefrencies < ``lift``) and the harmonic excitation
+    residual; only the ENVELOPE is resampled by ``shift`` along
+    frequency, so formants move while pitch/harmonics stay put — which is
+    what Praat's formant-shift does. Original phase kept.
+
+    Measured fidelity (tests/test_information_encoder.py::
+    TestFormantShiftFidelity): against directly-synthesized shifted-
+    formant vowels (f0 110-210 Hz, 2-3 formants, shifts 0.8/1.25/1.4),
+    mel-spectral distance to the ideal target is 3.0 dB mean / 4.7 dB
+    worst, and the output is ALWAYS closer to the target than the input
+    is (the pre-r03 whole-spectrum warp failed that at f0≥180 because it
+    dragged the harmonics along: 5.7 dB mean / 9.9 worst). Envelope peaks
+    scale by the requested ratio within 12%.
+    """
     if len(wav) < 512 or abs(shift - 1.0) < 1e-3:
         return wav.astype(np.float32)
     from scipy.signal import stft as sp_stft, istft as sp_istft
@@ -94,11 +112,19 @@ def _formant_shift_dsp(wav: np.ndarray, sr: int, shift: float) -> np.ndarray:
     f, t, Z = sp_stft(wav, fs=sr, nperseg=512, noverlap=384)
     mag, phase = np.abs(Z), np.angle(Z)
     n_bins = mag.shape[0]
+    logm = np.log(np.maximum(mag, 1e-10))
+    # cepstral smoothing along frequency (even extension, low-quefrency keep)
+    ext = np.concatenate([logm, logm[-2:0:-1]], axis=0)
+    cep = np.fft.rfft(ext, axis=0)
+    cep[lift:] = 0
+    env = np.fft.irfft(cep, n=ext.shape[0], axis=0)[:n_bins]
+    exc = logm - env
     src_bins = np.clip(np.arange(n_bins) / shift, 0, n_bins - 1)
     lo = np.floor(src_bins).astype(int)
     hi = np.minimum(lo + 1, n_bins - 1)
     frac = (src_bins - lo)[:, None]
-    warped = mag[lo] * (1 - frac) + mag[hi] * frac
+    env_w = env[lo] * (1 - frac) + env[hi] * frac
+    warped = np.exp(env_w + exc)
     _, out = sp_istft(warped * np.exp(1j * phase), fs=sr, nperseg=512, noverlap=384)
     out = out[: len(wav)]
     if len(out) < len(wav):

@@ -86,6 +86,33 @@ class TestFormantShiftFidelity:
             out = out + lfilter([1.0], a, src)
         return (out / np.abs(out).max() * 0.5).astype(np.float32)
 
+    def _logmel(self, wav, sr=16000, n_mels=80):
+        from scipy.signal import stft
+
+        f, t, Z = stft(wav, fs=sr, nperseg=512, noverlap=384)
+        p = np.abs(Z) ** 2
+
+        def hz2mel(h):
+            return 2595 * np.log10(1 + h / 700)
+
+        def mel2hz(m):
+            return 700 * (10 ** (m / 2595) - 1)
+
+        hpts = mel2hz(np.linspace(hz2mel(0), hz2mel(sr / 2), n_mels + 2))
+        bins = np.floor((512 + 1) * hpts / sr).astype(int)
+        fb = np.zeros((n_mels, p.shape[0]))
+        for i in range(n_mels):
+            lo, c, hi = bins[i], bins[i + 1], bins[i + 2]
+            c = max(c, lo + 1)
+            hi = max(hi, c + 1)
+            fb[i, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
+            fb[i, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
+        return 10 * np.log10(np.maximum(fb @ p, 1e-10))
+
+    def _msd(self, a, b):
+        n = min(a.shape[1], b.shape[1])
+        return float(np.mean(np.abs(a[:, :n] - b[:, :n])))
+
     def _envelope_peak(self, wav, sr, lo, hi):
         from scipy.signal import welch
 
@@ -108,6 +135,40 @@ class TestFormantShiftFidelity:
             got = self._envelope_peak(out, sr, expected * 0.7, expected * 1.3)
             rel_err = abs(got - expected) / expected
             assert rel_err < 0.12, (shift, got, expected)
+
+    def test_mel_spectral_distance_to_ideal_shift(self):
+        """Mel-domain bound: the DSP output must sit within 5.5 dB mean
+        |log-mel| distance of a vowel synthesized DIRECTLY with shifted
+        formants (same f0 — Praat's formant shift keeps pitch), and must
+        be closer to that ideal target than the unshifted input is, at
+        every (f0, formant-set, shift) case. The pre-r03 whole-spectrum
+        warp failed the 'closer' criterion at f0 ≥ 180 Hz (it warps the
+        harmonics too) with distances up to 9.9 dB."""
+        from interspeech_ser_tpu.train.information_encoder import _formant_shift_dsp
+
+        sr = 16000
+        cases = [
+            (110.0, (700.0, 1220.0)),
+            (210.0, (850.0, 1610.0)),
+            (120.0, (390.0, 1990.0)),
+            (180.0, (450.0, 1000.0, 2400.0)),
+        ]
+        worst = 0.0
+        for f0, F in cases:
+            for shift in (1.25, 1.4, 1.0 / 1.25):
+                wav = self._vowel(sr, f0=f0, formants=F)
+                target = self._vowel(
+                    sr, f0=f0, formants=tuple(x * shift for x in F)
+                )
+                out = _formant_shift_dsp(wav, sr, shift)
+                m_out, m_tgt, m_in = (
+                    self._logmel(out), self._logmel(target), self._logmel(wav)
+                )
+                d_out = self._msd(m_out, m_tgt)
+                d_in = self._msd(m_in, m_tgt)
+                worst = max(worst, d_out)
+                assert d_out < d_in, (f0, F, shift, d_out, d_in)
+        assert worst < 5.5, worst
 
     def test_praat_divergence_when_available(self):
         """Praat-vs-DSP divergence measurement — runs only where
