@@ -16,3 +16,16 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SER_TPU_PLATFORM"):
+    # Escape hatch for environments whose sitecustomize pins
+    # ``jax_platforms`` at interpreter start (overriding JAX_PLATFORMS):
+    # ``SER_TPU_PLATFORM=cpu`` re-pins it here, before any backend client
+    # exists, so every CLI can run host-only (pair with
+    # ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` for a
+    # virtual mesh). No-op when unset: the default platform (TPU) rules.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SER_TPU_PLATFORM"])
