@@ -71,16 +71,7 @@ class SpeechConfig:
 
     @property
     def compute_dtype(self):
-        # int8 mode: matmuls run W8A8 on the MXU's int8 path; everything
-        # else (norms, softmax, conv frontend) computes in bf16/f32 as in
-        # bfloat16 mode
-        return (
-            jnp.bfloat16 if self.dtype in ("bfloat16", "int8") else jnp.float32
-        )
-
-    @property
-    def use_int8(self) -> bool:
-        return self.dtype == "int8"
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
     @property
     def use_approx_gelu(self) -> bool:
@@ -288,9 +279,10 @@ def _relative_position_buckets(tq: int, tk: int, num_buckets: int, max_distance:
 
 
 def _proj_dense(cfg: SpeechConfig, features: int, name: str):
-    """Projection Dense: int8 QDense in extraction int8 mode, else nn.Dense."""
-    if cfg.use_int8:
-        return QDense(features, dtype=cfg.compute_dtype, name=name)
+    """Projection Dense. (An experimental W8A8 int8 variant lived here
+    through r02; it measured 0.80x bf16 at extraction shapes — dynamic
+    per-row activation quant is VPU-bound — and was removed. The decisive
+    microbench is kept at scripts/exp_int8_matmul.py.)"""
     return nn.Dense(
         features, dtype=cfg.compute_dtype, param_dtype=jnp.float32, name=name
     )
@@ -370,79 +362,6 @@ class FeedForward(nn.Module):
         h = _proj_dense(cfg, cfg.intermediate_size, "intermediate_dense")(x)
         h = nn.gelu(h, approximate=cfg.use_approx_gelu)
         return _proj_dense(cfg, cfg.hidden_size, "output_dense")(h)
-
-
-class QDense(nn.Module):
-    """Dense with an optional W8A8 int8 fast path (extraction-only mode).
-
-    Param layout adds ``kernel_scale`` [out] beside the usual kernel/bias.
-    When the provided kernel is int8 (pre-quantized per-output-channel by
-    ``quantize_params_int8``), activations are dynamically quantized
-    per-row (symmetric, max/127) and the matmul runs int8×int8→int32 on
-    the MXU (~2× bf16 peak on v5e); the f32 result is rescaled by
-    (row_scale · channel_scale). With an f32 kernel this is a plain Dense
-    (scale ignored), so init/training paths are unchanged.
-    """
-
-    features: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features), jnp.float32,
-        )
-        scale = self.param(
-            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if kernel.dtype == jnp.int8:
-            xf = x.astype(jnp.float32)
-            s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-            s_x = jnp.maximum(s_x, 1e-12)
-            x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
-            y = jax.lax.dot_general(
-                x_q, kernel, (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            out = y.astype(jnp.float32) * (s_x * scale)
-            return (out + bias).astype(self.dtype)
-        return (x @ kernel.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
-
-
-_INT8_PROJ_NAMES = frozenset(
-    ("q_proj", "k_proj", "v_proj", "out_proj", "intermediate_dense", "output_dense")
-)
-
-
-def quantize_params_int8(params):
-    """Per-output-channel symmetric int8 quantization of the QDense kernels.
-
-    Walks an encoder param tree (converter output, no kernel_scale
-    entries needed) and rewrites each projection Dense: kernel → int8
-    with scale = max|W|/127 per column, ``kernel_scale`` added. Returns a
-    new tree (everything else untouched, f32).
-    """
-    import numpy as onp
-
-    def rec(node):
-        out = {}
-        for k, v in node.items():
-            if isinstance(v, dict):
-                if k in _INT8_PROJ_NAMES and "kernel" in v:
-                    w = onp.asarray(v["kernel"], onp.float32)
-                    s = onp.abs(w).max(axis=0) / 127.0
-                    s = onp.maximum(s, 1e-12)
-                    q = onp.clip(onp.round(w / s), -127, 127).astype(onp.int8)
-                    out[k] = {**v, "kernel": q, "kernel_scale": s.astype(onp.float32)}
-                else:
-                    out[k] = rec(v)
-            else:
-                out[k] = v
-        return out
-
-    return rec(params)
 
 
 class Adapter(nn.Module):

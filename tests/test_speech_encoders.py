@@ -143,41 +143,8 @@ class TestBatchedPaddedEqualsSingle:
         np.testing.assert_allclose(our_mean, hf_mean, atol=2e-4)
 
 
-class TestInt8Mode:
-    """Experimental W8A8 extraction mode (dtype='int8'). Measured on v5e:
-    cosine 0.99976 vs f32 but 0.80x bf16 throughput — the dynamic per-row
-    activation quantization is VPU-bound at extraction shapes, so bf16
-    stays the fast path (see STATUS). Kept as a tested reference."""
-
-    def test_quantized_forward_close_to_f32(self):
-        from interspeech_ser_tpu.models.speech import (
-            SpeechConfig,
-            SpeechEncoderModel,
-            quantize_params_int8,
-        )
-
-        cfg = SpeechConfig(
-            hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96,
-            conv_dim=(24,) * 3, conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
-            attention_type="wavlm",
-        )
-        rng = np.random.default_rng(2)
-        wav = jnp.asarray(rng.normal(size=(2, 1600)).astype(np.float32) * 0.1)
-        mask = jnp.ones((2, 1600), jnp.float32)
-        model = SpeechEncoderModel(cfg)
-        params = model.init(jax.random.PRNGKey(0), wav, mask)["params"]
-        ref = model.apply({"params": params}, wav, mask)["last_hidden_state"]
-
-        import dataclasses
-        model_i8 = SpeechEncoderModel(dataclasses.replace(cfg, dtype="int8"))
-        p8 = quantize_params_int8(jax.tree.map(np.asarray, params))
-        # every projection kernel is int8 with a per-channel scale
-        assert p8["layer0"]["attention"]["q_proj"]["kernel"].dtype == np.int8
-        assert "kernel_scale" in p8["layer0"]["feed_forward"]["output_dense"]
-        out = model_i8.apply(
-            {"params": jax.tree.map(jnp.asarray, p8)}, wav, mask
-        )["last_hidden_state"]
-        a = np.asarray(ref, np.float64).ravel()
-        b = np.asarray(out, np.float64).ravel()
-        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
-        assert cos > 0.998, cos
+# (An experimental W8A8 int8 extraction mode and its TestInt8Mode parity
+# test lived here through r02; the mode measured 0.80x bf16 throughput at
+# extraction shapes — dynamic per-row activation quant is VPU-bound — and
+# was removed per the round-2 review. scripts/exp_int8_matmul.py keeps the
+# decisive raw-MXU microbench.)
