@@ -27,7 +27,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from interspeech_ser_tpu.models.speech import SpeechEncoderModel, wavlm_large
+from interspeech_ser_tpu.models.speech import (
+    SpeechEncoderModel,
+    default_fused_frontend,
+    wavlm_large,
+)
 
 BASELINE_A100_UTT_PER_SEC = 50.0
 # B=32 matches the extraction pipeline's default token budget (320 s of
@@ -47,7 +51,7 @@ def measure(dtype: str, n_chain: int = 10) -> float:
     can't fool.
     """
     cfg = wavlm_large(dtype=dtype)
-    model = SpeechEncoderModel(cfg)
+    model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(size=(BATCH, T)).astype(np.float32))
     mask = jnp.ones((BATCH, T), jnp.float32)
@@ -99,7 +103,7 @@ def measure_e2e(n_utts: int = 64) -> float:
             w.writeframes(pcm.tobytes())
 
     cfg = wavlm_large(dtype="bfloat16")
-    model = M(cfg)
+    model = M(cfg, fused_frontend=default_fused_frontend(cfg))
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 16000), jnp.float32),
         jnp.ones((1, 16000), jnp.float32),

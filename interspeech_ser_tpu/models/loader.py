@@ -73,7 +73,7 @@ def build_speech_encoder(path_or_name: str, dtype: str = "float32"):
     from transformers import AutoConfig
 
     from .convert_hf import speech_hf_to_flax
-    from .speech import SpeechConfig, SpeechEncoderModel
+    from .speech import SpeechConfig, SpeechEncoderModel, default_fused_frontend
 
     hf_cfg = AutoConfig.from_pretrained(_resolve_dir(path_or_name))
     cfg = SpeechConfig.from_hf(hf_cfg, dtype=dtype)
@@ -86,7 +86,9 @@ def build_speech_encoder(path_or_name: str, dtype: str = "float32"):
     if os.path.exists(pp):
         with open(pp) as f:
             do_normalize = bool(json.load(f).get("do_normalize", True))
-    return SpeechEncoderModel(cfg), params, cfg, do_normalize
+    # extraction is inference-only → fused conv-prefix kernel where it wins
+    model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
+    return model, params, cfg, do_normalize
 
 
 def build_whisper_encoder(path_or_name: str, dtype: str = "float32"):

@@ -22,6 +22,7 @@ Compute dtype is configurable: f32 for bit-parity, bf16 for MXU throughput
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -177,23 +178,109 @@ class PatchMatmulConv(nn.Module):
         return out
 
 
+class _ConvParamHolder(nn.Module):
+    """Declares ``nn.Conv``-layout params (kernel [k, in, out], bias [out])
+    without running the conv — the fused-frontend kernel consumes them
+    directly, and the param tree stays converter-identical."""
+
+    features: int
+    kernel_size: int
+    in_ch: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_ch, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return kern, bias
+
+
+class _LNParamHolder(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32),
+        )
+
+
+def default_fused_frontend(cfg: "SpeechConfig") -> int:
+    """Fused-frontend depth for INFERENCE construction sites.
+
+    The fused conv-prefix Pallas kernel (ops/pallas/conv_frontend.py) has
+    no vjp and doesn't partition under GSPMD, so it only auto-enables for
+    single-device TPU bf16 'layer'-norm runs — extraction pipelines and
+    benches pass this helper's result; training engines leave the default
+    0. ``SER_TPU_FRONTEND=xla|<n_layers>`` overrides.
+    """
+    env = os.environ.get("SER_TPU_FRONTEND")
+    if env is not None:
+        return 0 if env == "xla" else int(env)
+    if (
+        cfg.dtype == "bfloat16"
+        and cfg.feat_extract_norm == "layer"
+        and jax.default_backend() == "tpu"
+        and len(jax.devices()) == 1
+    ):
+        return 2
+    return 0
+
+
 class ConvFeatureExtractor(nn.Module):
     """7-layer strided conv frontend (hop 320).
 
     'group' mode: GroupNorm(ch, ch) on layer 0 only (base models);
     'layer' mode: per-layer LayerNorm over channels (large/XL models).
+
+    ``fused_prefix=n`` runs the first n layers as ONE Pallas pass
+    (inference-only; see ops/pallas/conv_frontend.py — the [B, ~32k, 512]
+    layer-0 activations never touch HBM). Param tree is identical either
+    way.
     """
 
     config: SpeechConfig
+    fused_prefix: int = 0
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:  # [B, L] -> [B, T, C]
         cfg = self.config
         dt = cfg.compute_dtype
+        start = 0
         x = wav[:, :, None].astype(dt)  # [B, L, 1]
+        if self.fused_prefix and cfg.feat_extract_norm == "layer":
+            from ..ops.pallas.conv_frontend import fused_conv_frontend
+
+            n_fused = min(self.fused_prefix, len(cfg.conv_dim))
+            layer_params = []
+            for i in range(n_fused):
+                in_ch = 1 if i == 0 else cfg.conv_dim[i - 1]
+                kern, bias = _ConvParamHolder(
+                    cfg.conv_dim[i], cfg.conv_kernel[i], in_ch, cfg.conv_bias,
+                    name=f"conv{i}",
+                )()
+                ln_s, ln_b = _LNParamHolder(cfg.conv_dim[i], name=f"conv_ln{i}")()
+                p = {"kernel": kern, "ln_scale": ln_s, "ln_bias": ln_b}
+                if bias is not None:
+                    p["bias"] = bias
+                layer_params.append(p)
+            x = fused_conv_frontend(
+                wav, layer_params, cfg.conv_kernel, cfg.conv_stride, dt,
+                cfg.use_approx_gelu, eps=cfg.layer_norm_eps,
+            )
+            start = n_fused
         for i, (out_ch, k, s) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
         ):
+            if i < start:
+                continue
             if i == 0 and x.shape[-1] == 1 and k % s == 0:
                 # XLA's C_in=1 conv is layout-bound (measured 3.9 ms for
                 # 5.2 GF on v5e); the same op as a strided-patch matmul runs
@@ -462,6 +549,7 @@ class SpeechEncoderModel(nn.Module):
     """
 
     config: SpeechConfig
+    fused_frontend: int = 0  # inference-only Pallas conv-prefix depth
 
     @nn.compact
     def __call__(
@@ -472,7 +560,9 @@ class SpeechEncoderModel(nn.Module):
     ):
         cfg = self.config
         dt = cfg.compute_dtype
-        feats = ConvFeatureExtractor(cfg, name="feature_extractor")(wav)
+        feats = ConvFeatureExtractor(
+            cfg, fused_prefix=self.fused_frontend, name="feature_extractor"
+        )(wav)
         if freeze_feature_extractor:
             # HF freeze_feature_encoder semantics: no grads reach the conv
             # frontend; the stop_gradient also lets XLA prune its entire

@@ -44,10 +44,13 @@ def chain_rate(fwd, params, x, extra, batch, n_chain=6):
 
 
 def bench_speech(name, cfg_fn, batch):
-    from interspeech_ser_tpu.models.speech import SpeechEncoderModel
+    from interspeech_ser_tpu.models.speech import (
+        SpeechEncoderModel,
+        default_fused_frontend,
+    )
 
     cfg = cfg_fn(dtype="bfloat16")
-    model = SpeechEncoderModel(cfg)
+    model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
     rng = np.random.default_rng(0)
     T = int(16000 * SECONDS)
     wav = jnp.asarray(rng.normal(size=(batch, T)).astype(np.float32))
