@@ -224,13 +224,12 @@ def default_fused_frontend(cfg: "SpeechConfig") -> int:
     env = os.environ.get("SER_TPU_FRONTEND")
     if env is not None:
         return 0 if env == "xla" else int(env)
-    if (
-        cfg.dtype == "bfloat16"
-        and cfg.feat_extract_norm == "layer"
-        and jax.default_backend() == "tpu"
-        and len(jax.devices()) == 1
-    ):
-        return 2
+    # Auto default is currently 0 (XLA): the kernel is interpret-mode
+    # parity-tested and the production CLI produces identical features
+    # with it forced on, but the Mosaic compile has not yet run on real
+    # hardware (tunnel outage) — bench.py A/Bs it self-protectingly and
+    # the auto flips to 2 once the hardware run confirms the win.
+    del cfg
     return 0
 
 
