@@ -148,7 +148,25 @@ class SpeechExtractionPipeline:
                 sel = hs[n_layer]
             return sel.astype(out_dtype), out["frame_mask"]
 
-        fn = jax.jit(fwd)
+        if self.n_data > 1 and self.model_parallel == 1:
+            # DP leg as shard_map: each device traces the per-shard
+            # program, so the measured-default Pallas kernels (oneshot2
+            # attention; see ops/attention_core.under_manual_axis) stay
+            # live on multi-chip extraction — under plain jit+NamedSharding
+            # a Pallas custom call cannot partition and XLA would be
+            # forced. Rows are already padded to a multiple of n_data.
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.jit(
+                jax.shard_map(
+                    fwd, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data")),
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False,
+                )
+            )
+        else:
+            fn = jax.jit(fwd)
         self._fwd_cache[key] = fn
         return fn
 
@@ -292,7 +310,18 @@ class WhisperExtractionPipeline:
                 sel = hs[self.n_layer]
             return sel.astype(jnp.float32)
 
-        self._fwd = jax.jit(fwd)
+        if self.n_data > 1:
+            # same shard_map rationale as SpeechExtractionPipeline._forward
+            from jax.sharding import PartitionSpec as P
+
+            self._fwd = jax.jit(
+                jax.shard_map(
+                    fwd, mesh=self.mesh, in_specs=(P(), P("data")),
+                    out_specs=P("data"), check_vma=False,
+                )
+            )
+        else:
+            self._fwd = jax.jit(fwd)
         return self._fwd
 
     def run(self, wav_dir: str, save_path: str, wav_names: Optional[Sequence[str]] = None) -> ExtractionStats:

@@ -53,6 +53,22 @@ def use_flash(tq: int, force_impl: Optional[str]) -> bool:
     return pick_impl(tq, 0, force_impl) == "flash"
 
 
+def under_manual_axis(axis: str = "data") -> bool:
+    """True when tracing inside ``shard_map`` with ``axis`` bound.
+
+    A Pallas custom call does not auto-partition under GSPMD
+    (jit + NamedSharding), but under shard_map each device traces the
+    per-shard program where the kernel is plain local compute — so the
+    measured-default kernels may engage there too. ``axis_index`` raises
+    outside a mapped context; inside, it traces a (DCE'd) index op.
+    """
+    try:
+        jax.lax.axis_index(axis)
+        return True
+    except Exception:
+        return False
+
+
 def dot_product_attention_btd(
     q: jnp.ndarray,  # [B, Tq, D] — projection layout, D = H * hd
     k: jnp.ndarray,  # [B, Tk, D]
@@ -82,12 +98,13 @@ def dot_product_attention_btd(
         and os.environ.get("SER_TPU_ATTN_IMPL") is None
         and q.dtype == jnp.bfloat16
         and jax.default_backend() not in ("cpu",)
-        and len(jax.devices()) == 1
+        and (len(jax.devices()) == 1 or under_manual_axis())
     ):
         # measured default: the one-shot [B,T,D] kernel wins WavLM-large
         # extraction 274.2 vs 252.9 utt/s on v5e (scripts/exp_attn_btd.py).
-        # Single-device only — a Pallas custom call does not auto-partition
-        # under GSPMD, so sharded meshes keep the XLA path.
+        # Single device, or per-shard under shard_map (where the custom
+        # call is local compute) — plain GSPMD-sharded meshes keep XLA
+        # because a Pallas call does not auto-partition there.
         impl = "oneshot2"
     if impl == "oneshot2":
         from .pallas.flash_attention_short import (

@@ -203,6 +203,44 @@ class TestTextExtractionPipeline:
             assert arr.shape == (max_len, 32)  # FULL padded length saved
 
 
+class TestShardMapKernelExtraction:
+    def test_dp_shard_map_with_kernels_matches_single_device(
+        self, wav_dir, hf_wavlm_dir, tmp_path, monkeypatch
+    ):
+        """8-device DP extraction runs per-shard under shard_map, so the
+        Pallas attention kernel may engage there (forced on here, interpret
+        mode on CPU) — outputs must equal the single-device XLA path and
+        the fused-frontend variant must agree too."""
+        from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+        from interspeech_ser_tpu.models.convert_hf import speech_hf_to_flax
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        model_dir, hf_model = hf_wavlm_dir
+        from transformers import AutoConfig
+
+        cfg = SpeechConfig.from_hf(AutoConfig.from_pretrained(model_dir))
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        save_1 = str(tmp_path / "one")
+        save_8 = str(tmp_path / "eight")
+        save_8f = str(tmp_path / "eight_fused")
+        SpeechExtractionPipeline(model, params, cfg, n_devices=1).run(wav_dir, save_1)
+        monkeypatch.setenv("SER_TPU_ATTN_IMPL", "oneshot2")
+        SpeechExtractionPipeline(model, params, cfg, n_devices=8).run(wav_dir, save_8)
+        fused = SpeechEncoderModel(cfg, fused_frontend=2)
+        SpeechExtractionPipeline(fused, params, cfg, n_devices=8).run(
+            wav_dir, save_8f
+        )
+        for f in sorted(os.listdir(save_1)):
+            a = torch.load(os.path.join(save_1, f), weights_only=True).numpy()
+            b = torch.load(os.path.join(save_8, f), weights_only=True).numpy()
+            c = torch.load(os.path.join(save_8f, f), weights_only=True).numpy()
+            np.testing.assert_allclose(b, a, atol=2e-4)
+            np.testing.assert_allclose(c, a, atol=2e-4)
+
+
 class TestTensorParallelExtraction:
     def test_tp_matches_dp(self, wav_dir, hf_wavlm_dir, tmp_path):
         """model_parallel=2 extraction == data-parallel extraction."""
