@@ -159,6 +159,134 @@ def _bidir_carries_impl(
     return jnp.swapaxes(out, 0, 1)
 
 
+def _kernel_bidir_bwd(
+    g_ref,  # [1, 2B, H] upstream cotangent at (reversed) step
+    hprev_ref,  # [1, 2B, H] carry entering the step
+    x_ref,  # [1, 2B, 3H] input projection at the step
+    m_ref,  # [1, 2B, 1] mask
+    whh_ref,  # [2, H, 3H]
+    bhh_ref,  # [2, 1, 3H]
+    dxp_ref,  # out: [1, 2B, 3H]
+    dwhh_ref,  # out: [2, H, 3H] (block resident across the grid)
+    dbhh_ref,  # out: [2, 1, 3H]
+    dh_scr,  # scratch: [2B, H] f32 running carry-cotangent
+    *,
+    hidden: int,
+    half: int,
+):
+    """Reverse-time GRU backward as ONE sequential-grid kernel.
+
+    Mirrors the scan in the custom_vjp docstring below, but with the
+    recurrent weights AND the dW/db accumulators VMEM-resident for the
+    whole sequence (the accumulators live in the constant-index output
+    blocks, so they never ride HBM between steps) — the same structure
+    that made the forward kernel win over ``lax.scan``.
+    """
+    t = pl.program_id(0)
+    H = hidden
+
+    @pl.when(t == 0)
+    def _init():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[...] = jnp.zeros_like(dbhh_ref)
+
+    hprev = hprev_ref[0]  # [2B, H] f32
+    xp = x_ref[0]
+    m = m_ref[0]
+    # recompute the gates from the saved carries
+    hp_f = jnp.dot(hprev[:half], whh_ref[0], preferred_element_type=jnp.float32)
+    hp_b = jnp.dot(hprev[half:], whh_ref[1], preferred_element_type=jnp.float32)
+    hp = jnp.concatenate([hp_f + bhh_ref[0, 0], hp_b + bhh_ref[1, 0]], axis=0)
+    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+    z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
+    hn = hp[:, 2 * H :]
+    n = jnp.tanh(xp[:, 2 * H :] + r * hn)
+
+    dht = g_ref[0].astype(jnp.float32) + dh_scr[:]
+    dh_new = dht * m
+    dh_skip = dht * (1.0 - m)
+    dn_pre = dh_new * (1.0 - z) * (1.0 - n * n)
+    dz_pre = dh_new * (hprev - n) * z * (1.0 - z)
+    dr_pre = dn_pre * hn * r * (1.0 - r)
+    dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)  # [2B, 3H]
+    dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+    # dh through the recurrent matmul: dhp @ whh^T per direction
+    back_f = jax.lax.dot_general(
+        dhp[:half], whh_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    back_b = jax.lax.dot_general(
+        dhp[half:], whh_ref[1], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_scr[:] = (
+        dh_skip + dh_new * z + jnp.concatenate([back_f, back_b], axis=0)
+    )
+    # weight/bias cotangents accumulate in the resident output blocks
+    dwhh_ref[0] += jax.lax.dot_general(
+        hprev[:half], dhp[:half], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwhh_ref[1] += jax.lax.dot_general(
+        hprev[half:], dhp[half:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbhh_ref[0, 0] += jnp.sum(dhp[:half], axis=0)
+    dbhh_ref[1, 0] += jnp.sum(dhp[half:], axis=0)
+    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+
+
+def _bidir_bwd_kernel_impl(x_proj, w_hh2, b_hh2, mask, h, g, interpret):
+    """Pallas reverse-grid dispatch of the backward above → (dxp, dwhh, dbhh)."""
+    B2, T, H3 = x_proj.shape
+    H = H3 // 3
+    half = B2 // 2
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    f32 = jnp.float32
+    xs = jnp.swapaxes(x_proj.astype(f32), 0, 1)  # [T, 2B, 3H]
+    gs = jnp.swapaxes(g.astype(f32), 0, 1)  # [T, 2B, H]
+    hs = jnp.swapaxes(h.astype(f32), 0, 1)  # [T, 2B, H]
+    h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
+    ms = jnp.swapaxes(mask.astype(f32), 0, 1)[:, :, None]
+
+    rev = lambda t: (T - 1 - t, 0, 0)  # grid walks time backwards
+    dxp, dwhh, dbhh = pl.pallas_call(
+        lambda g_r, hp_r, x_r, m_r, w_r, b_r, dx_r, dw_r, db_r, dh_s: (
+            _kernel_bidir_bwd(
+                g_r, hp_r, x_r, m_r, w_r, b_r, dx_r, dw_r, db_r, dh_s,
+                hidden=H, half=half,
+            )
+        ),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B2, H), rev),
+            pl.BlockSpec((1, B2, H), rev),
+            pl.BlockSpec((1, B2, H3), rev),
+            pl.BlockSpec((1, B2, 1), rev),
+            pl.BlockSpec((2, H, H3), lambda t: (0, 0, 0)),
+            pl.BlockSpec((2, 1, H3), lambda t: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B2, H3), rev),
+            pl.BlockSpec((2, H, H3), lambda t: (0, 0, 0)),
+            pl.BlockSpec((2, 1, H3), lambda t: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B2, H3), f32),
+            jax.ShapeDtypeStruct((2, H, H3), f32),
+            jax.ShapeDtypeStruct((2, 1, H3), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B2, H), f32)],
+        interpret=interpret,
+    )(
+        gs, h_prev, xs, ms,
+        w_hh2.astype(f32), b_hh2.astype(f32)[:, None, :],
+    )
+    return jnp.swapaxes(dxp, 0, 1), dwhh, dbhh[:, 0, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gru_bidir_carries(x_proj, w_hh2, b_hh2, mask, interpret=None):
     """Differentiable fused bidirectional GRU → UNMASKED carries [2B, T, H].
@@ -180,27 +308,39 @@ def _gru_bidir_fwd(x_proj, w_hh2, b_hh2, mask, interpret):
 
 
 def _gru_bidir_bwd(interpret, res, g):
-    """Reverse-time GRU backward, gates recomputed from saved carries.
+    """custom_vjp backward: the Pallas reverse-grid kernel above.
 
-    Per step (forward gate math in ops/gru.py — torch r,z,n order, n-gate
-    hidden bias inside the reset product):
+    Math notes (forward gate math in ops/gru.py — torch r,z,n order,
+    n-gate hidden bias inside the reset product):
       h_t = m·h_new + (1-m)·h_{t-1},  h_new = (1-z)·n + z·h_{t-1}
     so d h_new = d h_t · m and the (1-m) skip passes gradient straight
     through the frozen carry at masked steps — which is exactly what
     makes batched-padded grads equal per-utterance unpadded grads.
 
-    MEASURED (v5e, production fusion train step bs64, whisper1280-T512 +
-    roberta1024-T80, scripts/exp_gru_train.py): scan fwd + autodiff bwd
-    29.9 ms/step; kernel fwd + this bwd 31.0 ms/step (0.97x — NEGATIVE).
-    A variant that hoisted the gate recompute and dW_hh into
-    whole-sequence MXU ops (one matmul per backward step) was WORSE
-    still (40.1 ms): the [T,2,B,3H] f32 coefficient tensors cost ~1 GB
-    of HBM round-trips, swamping the matmuls saved. So: training keeps
-    the lax.scan (engine._use_gru_kernel applies the kernel to eval
-    only); this vjp stays as a tested, correct opt-in — the remaining
-    idea with headroom is a sequential-grid Pallas BACKWARD kernel
-    (weights + dW accumulator VMEM-resident), mirroring the forward win.
+    MEASURED history (v5e, production fusion train step bs64,
+    whisper1280-T512 + roberta1024-T80, scripts/exp_gru_train.py):
+    scan fwd + autodiff bwd 29.9 ms/step; kernel fwd + hand-scan bwd
+    31.0 (0.97x); a whole-sequence-MXU hoist 40.1 (HBM round-trips of
+    [T,2,B,3H] f32 coefficients). The Pallas backward keeps the weights
+    AND dW/db accumulators VMEM-resident across the whole reverse grid —
+    the structure that made the forward kernel win. engine._use_gru_kernel
+    decides where the kernel pair actually runs.
     """
+    x_proj, w_hh2, b_hh2, mask, h = res
+    dxp, dwhh, dbhh = _bidir_bwd_kernel_impl(
+        x_proj, w_hh2, b_hh2, mask, h, g, interpret
+    )
+    return (
+        dxp.astype(x_proj.dtype),
+        dwhh.astype(w_hh2.dtype),
+        dbhh.astype(b_hh2.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+def _gru_bidir_bwd_scan(interpret, res, g):
+    """Reference backward: hand-derived reverse ``lax.scan`` (same math).
+    Kept for gradient-parity tests and the exp_gru_train A/B."""
     del interpret
     x_proj, w_hh2, b_hh2, mask, h = res
     B2, T, H3 = x_proj.shape

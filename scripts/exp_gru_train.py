@@ -9,13 +9,16 @@ carries). This measures the full production train step (fwd + bwd +
 AdamW) scan vs kernel at production shapes (whisper 1280 T512 + roberta
 1024 T80, bs 64), ragged masks.
 
-MEASURED RESULT (v5e): NEGATIVE — scan 29.9 ms/step, kernel+vjp 31.0
-(0.97x). A second variant hoisting gate-recompute/dW_hh out of the
-backward scan into whole-sequence MXU ops was worse still (40.1 ms —
-the [T,2,B,3H] f32 coefficient tensors cost ~1 GB of HBM round-trips).
-Training keeps the lax.scan; the kernel serves eval (engine.
-_use_gru_kernel) and the vjp remains a tested opt-in. Gradient parity:
-tests/test_gru_kernel.py (params + inputs + masked-frame zeroing).
+MEASURED RESULTS (v5e):
+- r03a: scan 29.9 ms/step vs kernel-fwd + hand-SCAN-bwd 31.0 (0.97x —
+  negative; the hand bwd re-derives gates the autodiff scan gets as
+  saved residuals). A whole-sequence-MXU hoist was worse still (40.1 ms
+  — [T,2,B,3H] f32 coefficient HBM round-trips).
+- r03b: the vjp backward is now a sequential-grid Pallas kernel
+  (reverse time, weights + dW/db accumulators VMEM-resident —
+  pallas/gru_kernel._kernel_bidir_bwd); re-run this script to A/B
+  kernel-fwd+kernel-bwd against the scan. Gradient parity:
+  tests/test_gru_kernel.py (params + inputs + masked-frame zeroing).
 
 Steps chain through params (data-dependent), so no XLA loop hoisting —
 timed with scalar readbacks (tunnel-safe).
