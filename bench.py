@@ -50,7 +50,11 @@ def measure(dtype: str, n_chain: int = 10, fused_frontend: int = 0) -> float:
     forwards on-device and timing a single dispatch is the only method it
     can't fool.
     """
-    cfg = wavlm_large(dtype=dtype)
+    import dataclasses
+
+    # inference-only bench: opt into the no-vjp Pallas kernels, exactly
+    # as SpeechExtractionPipeline does
+    cfg = dataclasses.replace(wavlm_large(dtype=dtype), inference_kernels=True)
     model = SpeechEncoderModel(cfg, fused_frontend=fused_frontend)
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(size=(BATCH, T)).astype(np.float32))
@@ -79,6 +83,31 @@ def measure(dtype: str, n_chain: int = 10, fused_frontend: int = 0) -> float:
     float(out[0, 0])
     total = time.perf_counter() - t0
     return BATCH * n_chain / total
+
+
+def _fused_parity_ok(min_cosine: float = 0.999) -> bool:
+    """Fused-frontend forward must agree with the XLA path (bf16)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(wavlm_large(dtype="bfloat16"), inference_kernels=True)
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.normal(size=(2, 32000)).astype(np.float32))
+    mask = jnp.ones((2, 32000), jnp.float32)
+    ref_m = SpeechEncoderModel(cfg)
+    params = ref_m.init(jax.random.PRNGKey(0), wav, mask)["params"]
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    a = np.asarray(
+        ref_m.apply({"params": params}, wav, mask)["last_hidden_state"],
+        np.float64,
+    ).ravel()
+    b = np.asarray(
+        SpeechEncoderModel(cfg, fused_frontend=2).apply(
+            {"params": params}, wav, mask
+        )["last_hidden_state"],
+        np.float64,
+    ).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    return cos >= min_cosine
 
 
 def measure_e2e(n_utts: int = 64) -> float:
@@ -122,10 +151,14 @@ def main():
     bf16 = measure("bfloat16")
     # fused conv-frontend Pallas prefix: self-protecting A/B — measured
     # alongside the XLA frontend and only the winner is reported, so an
-    # untested Mosaic compile can never regress the headline (fall back
-    # on any failure).
+    # untested Mosaic compile can never regress the headline. Guarded
+    # twice: any compile/runtime failure falls back, and the fused
+    # forward must match the XLA forward numerically (a miscompiled
+    # kernel that runs fast but wrong must not set the headline).
     try:
         bf16_fused = measure("bfloat16", fused_frontend=2)
+        if not _fused_parity_ok():
+            bf16_fused = 0.0
     except Exception:
         bf16_fused = 0.0
     value = max(f32, bf16, bf16_fused)

@@ -100,6 +100,16 @@ class SpeechExtractionPipeline:
         self.mesh = make_mesh(n_devices, model_parallel=model_parallel)
         self.n_data = self.mesh.shape["data"]
         self.model_parallel = model_parallel
+        # extraction is inference-only: opt into the no-vjp Pallas
+        # kernels on a config copy (the loader/engines stay neutral —
+        # gradients require the XLA paths). DP runs per-shard under
+        # shard_map where the custom call is local compute; the TP leg
+        # (jit+NamedSharding GSPMD) must keep XLA, so only mp==1 flips.
+        if model_parallel == 1 and not config.inference_kernels:
+            import dataclasses as _dc
+
+            config = _dc.replace(config, inference_kernels=True)
+            model = model.clone(config=config)
         self.model = model
         # bf16 mode: pre-cast the frozen params once (saves the per-step
         # f32→bf16 weight casts; norms still compute in f32 on bf16 inputs)
@@ -182,20 +192,26 @@ class SpeechExtractionPipeline:
             return None
 
     def _plan(self, wav_dir: str, wav_names: Sequence[str], stats: ExtractionStats):
-        """Header-only batch plan (no audio decoded; exact lengths)."""
-        planned: List[Tuple[str, int]] = []
-        for name in wav_names:
+        """Header-only batch plan (no audio decoded; exact lengths).
+
+        Header reads ride the worker pool — serial open/parse per file
+        would put O(corpus) filesystem round-trips between process start
+        and the first device batch (minutes on network filesystems at
+        MSP-Podcast scale)."""
+
+        def one(name: str) -> Optional[Tuple[str, int]]:
             try:
-                n = streaming.planned_wav_len(os.path.join(wav_dir, name))
+                return name, streaming.planned_wav_len(os.path.join(wav_dir, name))
             except Exception:
                 # non-PCM/odd container: fall back to a full decode for the
                 # length (rare; decoded again in the stream)
                 w = self._load_one(wav_dir, name)
-                if w is None:
-                    stats.n_failed += 1
-                    continue
-                n = len(w)
-            planned.append((name, n))
+                return (name, len(w)) if w is not None else None
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            results = list(pool.map(one, wav_names))
+        planned = [r for r in results if r is not None]
+        stats.n_failed += len(results) - len(planned)
         return streaming.plan_batches(planned, self.token_budget, self.bucket_quantum)
 
     def run(self, wav_dir: str, save_path: str, wav_names: Optional[Sequence[str]] = None) -> ExtractionStats:
@@ -282,6 +298,13 @@ class WhisperExtractionPipeline:
 
         self.mesh = make_mesh(n_devices)
         self.n_data = self.mesh.shape["data"]
+        # inference-only kernel opt-in (same rationale as the speech
+        # pipeline; whisper extraction is always data-parallel)
+        if not config.inference_kernels:
+            import dataclasses as _dc
+
+            config = _dc.replace(config, inference_kernels=True)
+            model = model.clone(config=config)
         self.model = model
         if config.compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)

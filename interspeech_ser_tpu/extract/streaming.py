@@ -137,6 +137,19 @@ class BatchStream:
         self.fixed_len = fixed_len
         self.q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._err: Optional[BaseException] = None
+        # set when the consumer abandons iteration (device error mid-run):
+        # the producer's bounded put must not deadlock on a full queue
+        self._stop = threading.Event()
+
+    def _put(self, item) -> bool:
+        """Bounded put that aborts when the consumer is gone."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _assemble(self, batch: PlannedBatch, waves: List[Optional[np.ndarray]]) -> Optional[ReadyBatch]:
         ok = [(n, w) for n, w in zip(batch.names, waves) if w is not None]
@@ -168,22 +181,35 @@ class BatchStream:
             gen = bounded_map(pool, self.load_one, flat, window)
             for batch in self.plan:
                 waves = [next(gen) for _ in batch.names]
-                self.q.put(self._assemble(batch, waves))
+                if not self._put(self._assemble(batch, waves)):
+                    return  # consumer abandoned iteration
         except BaseException as e:  # surface on the consumer side
             self._err = e
         finally:
-            pool.shutdown(wait=False)
-            self.q.put(self._SENTINEL)
+            pool.shutdown(wait=False, cancel_futures=True)
+            self._put(self._SENTINEL)
 
     def __iter__(self) -> Iterator[ReadyBatch]:
         t = threading.Thread(target=self._produce, daemon=True)
+        self._thread = t  # exposed for the abort-regression test
         t.start()
-        while True:
-            item = self.q.get()
-            if item is self._SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = self.q.get()
+                if item is self._SENTINEL:
+                    break
+                yield item
+        finally:
+            # normal exit or consumer abort (exception at the yield /
+            # GeneratorExit): release the producer if it is blocked on a
+            # full queue, then reap the thread — no leaked pools/batches
+            self._stop.set()
+            try:
+                while True:
+                    self.q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10)
         if self._err is not None:
             raise self._err
 

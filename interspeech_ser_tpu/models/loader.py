@@ -73,7 +73,7 @@ def build_speech_encoder(path_or_name: str, dtype: str = "float32"):
     from transformers import AutoConfig
 
     from .convert_hf import speech_hf_to_flax
-    from .speech import SpeechConfig, SpeechEncoderModel, default_fused_frontend
+    from .speech import SpeechConfig, SpeechEncoderModel
 
     hf_cfg = AutoConfig.from_pretrained(_resolve_dir(path_or_name))
     cfg = SpeechConfig.from_hf(hf_cfg, dtype=dtype)
@@ -86,9 +86,11 @@ def build_speech_encoder(path_or_name: str, dtype: str = "float32"):
     if os.path.exists(pp):
         with open(pp) as f:
             do_normalize = bool(json.load(f).get("do_normalize", True))
-    # extraction is inference-only → fused conv-prefix kernel where it wins
-    model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
-    return model, params, cfg, do_normalize
+    # NOTE: the loader stays kernel-neutral — it serves training engines
+    # (joint/baseline/LoRA fine-tunes) as well as extraction. Inference
+    # pipelines opt into the no-vjp Pallas kernels themselves
+    # (SpeechExtractionPipeline enables cfg.inference_kernels).
+    return SpeechEncoderModel(cfg), params, cfg, do_normalize
 
 
 def build_whisper_encoder(path_or_name: str, dtype: str = "float32"):

@@ -46,6 +46,10 @@ class SpeechConfig:
     feat_extract_norm: str = "group"  # 'group' (base) | 'layer' (large/XL)
     do_stable_layer_norm: bool = False
     attention_type: str = "standard"  # 'standard' | 'wavlm'
+    # INFERENCE-ONLY kernels opt-in (no vjp, no GSPMD auto-partitioning):
+    # extraction pipelines / benches flip this on a config copy; training
+    # engines must leave it False (gradients require the XLA paths)
+    inference_kernels: bool = False
     num_buckets: int = 320
     max_distance: int = 800
     num_conv_pos_embeddings: int = 128
@@ -433,6 +437,7 @@ class SpeechSelfAttention(nn.Module):
         out = dot_product_attention_btd(
             q, k, v, H, key_mask=key_mask, gate=gate_out,
             shared_bias=position_bias if cfg.attention_type == "wavlm" else None,
+            allow_kernel=cfg.inference_kernels,
         )
         out = _proj_dense(cfg, D, "out_proj")(out)
         return out, position_bias

@@ -31,6 +31,8 @@ class WhisperEncoderConfig:
     max_source_positions: int = 1500
     layer_norm_eps: float = 1e-5
     dtype: str = "float32"
+    # inference-only Pallas attention opt-in (no vjp) — see SpeechConfig
+    inference_kernels: bool = False
 
     @property
     def compute_dtype(self):
@@ -76,7 +78,9 @@ class _WhisperAttention(nn.Module):
         v = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="v_proj")(x)
         # head split happens inside the attention core ([B,T,D] entry —
         # the oneshot2 kernel consumes projection layout directly)
-        out = dot_product_attention_btd(q, k, v, H)
+        out = dot_product_attention_btd(
+            q, k, v, H, allow_kernel=cfg.inference_kernels
+        )
         return nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="out_proj")(out)
 
 

@@ -49,10 +49,6 @@ def pick_impl(tq: int, tk: int, force_impl: Optional[str]) -> str:
     return "xla"
 
 
-def use_flash(tq: int, force_impl: Optional[str]) -> bool:
-    return pick_impl(tq, 0, force_impl) == "flash"
-
-
 def under_manual_axis(axis: str = "data") -> bool:
     """True when tracing inside ``shard_map`` with ``axis`` bound.
 
@@ -79,6 +75,7 @@ def dot_product_attention_btd(
     gate: Optional[jnp.ndarray] = None,  # [B, H, Tq]
     shared_bias: Optional[jnp.ndarray] = None,  # [H, Tq, Tk]
     force_impl: Optional[str] = None,
+    allow_kernel: bool = False,
 ) -> jnp.ndarray:  # [B, Tq, D]
     """SDPA on [B, T, D] projection outputs (heads never materialized).
 
@@ -87,6 +84,13 @@ def dot_product_attention_btd(
     [B, H, T, hd] transposes exist around the custom call — the v1
     kernel's e2e regression. Other impls reshape/transpose here and XLA
     fuses those into the surrounding einsums as before.
+
+    ``allow_kernel`` is the INFERENCE opt-in (set from
+    ``SpeechConfig/WhisperEncoderConfig.inference_kernels`` by extraction
+    pipelines and benches): the kernel has no vjp, so it must never
+    auto-select on a path an engine may differentiate — training engines
+    leave it False and always get XLA. ``SER_TPU_ATTN_IMPL``/
+    ``force_impl`` still force any impl for experiments.
     """
     B, Tq, D = q.shape
     H = num_heads
@@ -94,6 +98,7 @@ def dot_product_attention_btd(
     impl = pick_impl(Tq, k.shape[1], force_impl)
     if (
         impl == "xla"
+        and allow_kernel
         and force_impl is None
         and os.environ.get("SER_TPU_ATTN_IMPL") is None
         and q.dtype == jnp.bfloat16

@@ -44,12 +44,14 @@ def chain_rate(fwd, params, x, extra, batch, n_chain=6):
 
 
 def bench_speech(name, cfg_fn, batch):
+    import dataclasses
+
     from interspeech_ser_tpu.models.speech import (
         SpeechEncoderModel,
         default_fused_frontend,
     )
 
-    cfg = cfg_fn(dtype="bfloat16")
+    cfg = dataclasses.replace(cfg_fn(dtype="bfloat16"), inference_kernels=True)
     model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
     rng = np.random.default_rng(0)
     T = int(16000 * SECONDS)
@@ -68,7 +70,7 @@ def bench_speech(name, cfg_fn, batch):
 def bench_whisper(batch):
     from interspeech_ser_tpu.models.whisper import WhisperEncoderConfig, WhisperEncoderModel
 
-    cfg = WhisperEncoderConfig(dtype="bfloat16")
+    cfg = WhisperEncoderConfig(dtype="bfloat16", inference_kernels=True)
     model = WhisperEncoderModel(cfg)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.normal(size=(batch, cfg.num_mel_bins, 3000)).astype(np.float32))

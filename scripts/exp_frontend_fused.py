@@ -25,7 +25,10 @@ from interspeech_ser_tpu.models.speech import (
 
 B, T = 32, 160000
 N_CHAIN = 8
-cfg = wavlm_large(dtype="bfloat16")
+import dataclasses
+
+# bench-comparable: oneshot2 attention enabled like bench.py/pipeline
+cfg = dataclasses.replace(wavlm_large(dtype="bfloat16"), inference_kernels=True)
 rng = np.random.default_rng(0)
 wav = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
 mask = jnp.ones((B, T), jnp.float32)

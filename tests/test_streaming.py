@@ -93,6 +93,24 @@ class TestBatchStream:
         assert rb.wav.shape == (1, 512) and rb.lengths == [900]
         assert rb.mask[0].sum() == 512
 
+    def test_consumer_abort_releases_producer(self):
+        """Abandoning iteration mid-stream (device error in the consume
+        loop) must not deadlock the producer on the full bounded queue —
+        the thread and its decode pool must wind down."""
+        plan = [
+            streaming.PlannedBatch([f"u{i}_300"], [300]) for i in range(12)
+        ]
+        stream = streaming.BatchStream(
+            self._loader(), plan, bucket_quantum=256, num_workers=2,
+            queue_depth=1,
+        )
+        it = iter(stream)
+        next(it)  # producer now races ahead and blocks on the full queue
+        time.sleep(0.3)
+        it.close()  # GeneratorExit at the yield — consumer gone
+        stream._thread.join(timeout=5)
+        assert not stream._thread.is_alive(), "producer leaked after abort"
+
     def test_bounded_queue_blocks_producer(self):
         """Producer can run at most queue_depth + 1 batches ahead."""
         n_batches = 8
