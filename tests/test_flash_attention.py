@@ -176,6 +176,32 @@ class TestOneShotBTDAttention:
         ours = attention_btd(q, k, v, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
+    def test_lane_blocked_fallback_branch(self, monkeypatch):
+        """Shrink the VMEM budget so the no-bias lane-blocked grid path
+        (very large D·Tk on hardware) is exercised in interpret mode."""
+        import interspeech_ser_tpu.ops.pallas.flash_attention_short as fas
+
+        q, k, v = self._btd(B=2, H=4, Tq=256, Tk=256, hd=64)  # D=256
+        ref = self._ref(q, k, v, 4)
+        monkeypatch.setattr(fas, "_VMEM_BUDGET", 300_000)  # forces lane blocking
+        mask = np.ones((2, 256), np.float32)
+        mask[1, 200:] = 0
+        ref_m = self._ref(q, k, v, 4, key_mask=jnp.asarray(mask))
+        ours = fas.attention_btd(q, k, v, 4, interpret=True)
+        ours_m = fas.attention_btd(q, k, v, 4, key_mask=jnp.asarray(mask), interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ours_m), np.asarray(ref_m), atol=2e-5)
+
+    def test_lane_blocked_with_bias_raises_budget_error(self, monkeypatch):
+        import interspeech_ser_tpu.ops.pallas.flash_attention_short as fas
+
+        B, H, T, hd = 2, 4, 256, 64
+        q, k, v = self._btd(B, H, T, T, hd)
+        bias = jnp.asarray(RNG.normal(size=(H, T, T)).astype(np.float32))
+        monkeypatch.setattr(fas, "_VMEM_BUDGET", 300_000)
+        with pytest.raises(fas.VmemBudgetError):
+            fas.attention_btd(q, k, v, H, pos_bias=bias, interpret=True)
+
     def test_dispatch_via_attention_core_btd(self):
         from interspeech_ser_tpu.ops.attention_core import dot_product_attention_btd
 
