@@ -291,14 +291,14 @@ class FusionEngine:
         )
 
     def _use_gru_kernel(self) -> bool:
-        # fused GRU kernel: single real device only (a Pallas custom call
-        # does not auto-partition under GSPMD). EVAL path only: the kernel
-        # is differentiable (custom_vjp, pallas/gru_kernel.py) but the
-        # measured train step LOSES with it — 31.0 vs 29.9 ms/step at
-        # production bs64 shapes (scripts/exp_gru_train.py) — because the
-        # hand backward re-derives gates the autodiff scan gets as saved
-        # residuals; training keeps the lax.scan.
-        return jax.default_backend() == "tpu" and self.mesh.size == 1
+        # fused GRU kernel on the EVAL path (single device, or per-shard
+        # under the eval step's shard_map wrap below — both places the
+        # Pallas call is plain local compute). The kernel carries a Pallas
+        # backward (custom_vjp) too, but the r03a A/B measured the scan
+        # train step faster (31.0 vs 29.9 ms/step at production bs64 —
+        # scripts/exp_gru_train.py), so training keeps the lax.scan until
+        # the kernel-bwd rematch says otherwise.
+        return jax.default_backend() == "tpu"
 
     def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
         feats, masks, labels, sample_mask, aux_y = batch_dev
@@ -401,7 +401,22 @@ class FusionEngine:
                 params, feats, masks, True, None, use_gru_kernel=use_gru_kernel
             )["logits"]
 
-        fn = jax.jit(step)
+        if self.mesh.size > 1:
+            # per-shard eval (rows per batch are always a multiple of
+            # n_data — predict() pads via collate): Pallas kernels stay
+            # usable on multi-device eval, same rationale as
+            # extract/pipeline._forward's shard_map DP leg
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.jit(
+                jax.shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False,
+                )
+            )
+        else:
+            fn = jax.jit(step)
         self._eval_step_cache[shape_sig] = fn
         return fn
 
