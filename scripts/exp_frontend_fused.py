@@ -51,17 +51,39 @@ def timed(apply_fn, *args):
     return best
 
 
+import interspeech_ser_tpu.ops.pallas.conv_frontend as cfmod
+
+_orig = cfmod.fused_conv_frontend
+
+
+def _with_block(depth):
+    # deeper fusion holds more per-tile intermediates in VMEM — shrink
+    # the output tile with depth (rough budget: halve per extra layer)
+    bf = {1: 2048, 2: 1024, 3: 512, 4: 256, 5: 256, 6: 128, 7: 128}[depth]
+
+    def f(*a, **kw):
+        kw.setdefault("block_f", bf)
+        return _orig(*a, **kw)
+
+    return f
+
+
 fe_params = None
-for depth in (0, 1, 2, 3):
+for depth in (0, 1, 2, 3, 5, 7):
     fe = ConvFeatureExtractor(cfg, fused_prefix=depth)
     if fe_params is None:
         fe_params = fe.init(jax.random.PRNGKey(0), wav[:1])["params"]
-
-    t = timed(lambda w: fe.apply({"params": fe_params}, w), wav)
-    print(f"frontend depth={depth}: {t*1e3:7.2f} ms", flush=True)
+    cfmod.fused_conv_frontend = _with_block(depth) if depth else _orig
+    try:
+        t = timed(lambda w: fe.apply({"params": fe_params}, w), wav)
+        print(f"frontend depth={depth}: {t*1e3:7.2f} ms", flush=True)
+    except Exception as e:
+        print(f"frontend depth={depth}: FAILED {type(e).__name__}: {str(e)[:140]}",
+              flush=True)
+cfmod.fused_conv_frontend = _orig
 
 full_params = None
-for depth in (0, 2, 3):
+for depth in (0, 2, 3, 7):
     model = SpeechEncoderModel(cfg, fused_frontend=depth)
     if full_params is None:
         full_params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
@@ -70,7 +92,13 @@ for depth in (0, 2, 3):
     def fwd(w, m, model=model):
         return model.apply({"params": full_params}, w, m)["last_hidden_state"]
 
-    t = timed(fwd, wav, mask)
-    print(
-        f"e2e depth={depth}: {t*1e3:7.2f} ms  {B/t:7.1f} utt/s", flush=True
-    )
+    cfmod.fused_conv_frontend = _with_block(depth) if depth else _orig
+    try:
+        t = timed(fwd, wav, mask)
+        print(
+            f"e2e depth={depth}: {t*1e3:7.2f} ms  {B/t:7.1f} utt/s", flush=True
+        )
+    except Exception as e:
+        print(f"e2e depth={depth}: FAILED {type(e).__name__}: {str(e)[:140]}",
+              flush=True)
+cfmod.fused_conv_frontend = _orig
