@@ -54,8 +54,10 @@ class TestFusedConvFrontend:
             np.asarray(ours, np.float32), np.asarray(ref, np.float32), atol=atol
         )
 
-    @pytest.mark.parametrize("n_fused", [1, 2, 3])
+    @pytest.mark.parametrize("n_fused", [1, 2, 3, 7])
     def test_matches_xla_f32(self, n_fused):
+        # 7 = the ENTIRE frontend in one pass (no intermediate ever
+        # leaves the kernel)
         self._ab(_cfg(), n_fused, L=8000)
 
     def test_bf16_at_least_as_close_to_f32_truth(self):
