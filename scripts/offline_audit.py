@@ -10,13 +10,18 @@ it a single command the moment checkpoints (and data) are mountable:
   1. convert — load each HF checkpoint from --ckpt_dir, run our
      converter + flax forward, report cosine vs the torch forward
      (threshold 0.999, BASELINE.json contract)
-  2. extract — config-#1 modalities for every wav in the label CSV:
-     whisper-large-v3 encoder features, whisper transcription (unless
-     --transcripts is given), roberta-large text features
-  3. train   — config #1 (cat bimodal lazy 1-head, reference
-     bin/train_cat_bimodal_lazy_1head.py) once per --seeds entry
-  4. stack   — results/{train,dev}.csv logits per seed → RF stacking
-     (test/stacking.py) → dev macro-F1 vs 0.3785
+  2. extract — features for EVERY mounted encoder the VFINAL ensemble
+     uses (whisper / wavlm / hubert / w2v2 audio dumps; whisper
+     transcription unless --transcripts is given; roberta / deberta
+     text dumps)
+  3. train   — the reference's five VFINAL bimodal 1-head experiments
+     (hubert+roberta, whisper+roberta, wavlm+roberta, whisper+deberta,
+     whisper+hubert — VFINAL notebook cell 2), each once per --seeds
+     entry; experiments whose features are missing are skipped with a
+     log line
+  4. stack   — results/{train,dev}.csv logits across all trained
+     experiment models → RF stacking (test/stacking.py) → dev macro-F1
+     vs 0.3785
 
 Real run (only the mounts are new):
   python scripts/offline_audit.py \
@@ -133,26 +138,53 @@ def stage_convert(ckpt_dir: str) -> dict:
     return report
 
 
+# The reference's final VFINAL ensemble stacks exactly these five bimodal
+# 1-head experiments (test/[EVAL] … VFINAL.ipynb cell 2; SURVEY.md §2.7):
+VFINAL_EXPERIMENTS = [
+    ("hubert_roberta", "hubert-xlarge", "roberta-large"),
+    ("whisper_roberta", "whisper-large-v3", "roberta-large"),
+    ("wavlm_roberta", "wavlm-large", "roberta-large"),
+    ("whisper_deberta", "whisper-large-v3", "deberta-v2-xxl"),
+    ("whisper_hubert", "whisper-large-v3", "hubert-xlarge"),
+]
+
+
 # ---------------------------------------------------------------- stage 2
 def stage_extract(args, workdir: str) -> dict:
-    """Whisper + roberta features (+ transcription) for the label CSV wavs."""
-    import pandas as pd
-
+    """Features for EVERY mounted encoder the VFINAL ensemble uses
+    (+ whisper transcription when no transcript CSV is given). Encoders
+    absent from ckpt_dir — or whose tokenizer stack can't load (deberta
+    needs sentencepiece) — are skipped with a log line; stage 3 then
+    trains whichever of the five experiments have both feature dirs."""
     from interspeech_ser_tpu import preprocess_cli
 
-    whisper_dir = os.path.join(args.ckpt_dir, "whisper-large-v3")
-    roberta_dir = os.path.join(args.ckpt_dir, "roberta-large")
-    feat1 = os.path.join(workdir, "data_tmp", "whisper_large_v3")
-    feat2 = os.path.join(workdir, "data_tmp", "roberta_large")
+    feats: dict = {}
 
-    print("[extract] whisper encoder features ...")
-    preprocess_cli.whisper_main([
-        "--ssl_type", whisper_dir, "--wav_dir", args.wav_dir,
-        "--save_path", feat1, "--dtype", args.dtype,
-    ])
+    def featdir(family: str) -> str:
+        return os.path.join(workdir, "data_tmp", family.replace("-", "_"))
+
+    whisper_dir = os.path.join(args.ckpt_dir, "whisper-large-v3")
+    if os.path.isdir(whisper_dir):
+        print("[extract] whisper encoder features ...")
+        preprocess_cli.whisper_main([
+            "--ssl_type", whisper_dir, "--wav_dir", args.wav_dir,
+            "--save_path", featdir("whisper-large-v3"), "--dtype", args.dtype,
+        ])
+        feats["whisper-large-v3"] = featdir("whisper-large-v3")
+
+    for family in ("wavlm-large", "hubert-xlarge", "w2v2-xls-r-2b"):
+        d = os.path.join(args.ckpt_dir, family)
+        if not os.path.isdir(d):
+            continue
+        print(f"[extract] {family} features ...")
+        preprocess_cli.speech_main([
+            "--ssl_type", d, "--wav_dir", args.wav_dir,
+            "--save_path", featdir(family), "--dtype", args.dtype,
+        ])
+        feats[family] = featdir(family)
 
     txt_csv = args.transcripts
-    if txt_csv is None:
+    if txt_csv is None and "whisper-large-v3" in feats:
         print("[extract] whisper transcription ...")
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "test"))
         import whisper_transcriptions
@@ -163,62 +195,92 @@ def stage_extract(args, workdir: str) -> dict:
             "--out_csv", txt_csv, "--dtype", args.dtype,
         ])
 
-    print("[extract] roberta text features ...")
-    preprocess_cli.roberta_main([
-        "--roberta_type", roberta_dir, "--df_path", txt_csv,
-        "--save_path", feat2, "--dtype", args.dtype,
-    ])
-    return {"lazy_dir1": feat1, "lazy_dir2": feat2, "txt_csv": txt_csv}
+    for family, flag, fn in (
+        ("roberta-large", "--roberta_type", preprocess_cli.roberta_main),
+        ("deberta-v2-xxl", "--roberta_type", preprocess_cli.deroberta_main),
+    ):
+        d = os.path.join(args.ckpt_dir, family)
+        if not os.path.isdir(d) or txt_csv is None:
+            continue
+        print(f"[extract] {family} text features ...")
+        try:
+            fn([flag, d, "--df_path", txt_csv,
+                "--save_path", featdir(family), "--dtype", args.dtype])
+            feats[family] = featdir(family)
+        except Exception as e:  # e.g. sentencepiece missing for deberta
+            print(f"[extract] {family} SKIPPED: {type(e).__name__}: {e}")
+
+    return {"feat_dirs": feats, "txt_csv": txt_csv}
 
 
 # ---------------------------------------------------------------- stage 3+4
+def _feat_dim(ckpt_dir: str, family: str) -> int:
+    from transformers import AutoConfig
+
+    c = AutoConfig.from_pretrained(os.path.join(ckpt_dir, family))
+    return c.d_model if family == "whisper-large-v3" else c.hidden_size
+
+
 def stage_train_and_stack(args, workdir: str, dirs: dict) -> dict:
     import pandas as pd
 
     from interspeech_ser_tpu import cli
     from interspeech_ser_tpu.utils import labels as L
 
-    from transformers import AutoConfig
-
-    feat1_dim = AutoConfig.from_pretrained(
-        os.path.join(args.ckpt_dir, "whisper-large-v3")).d_model
-    feat2_dim = AutoConfig.from_pretrained(
-        os.path.join(args.ckpt_dir, "roberta-large")).hidden_size
+    feats = dirs["feat_dirs"]
+    avail = [
+        (name, f1, f2)
+        for name, f1, f2 in VFINAL_EXPERIMENTS
+        if f1 in feats and f2 in feats
+    ]
+    if not avail:
+        raise SystemExit(f"no VFINAL experiment has both feature dirs "
+                         f"(extracted: {sorted(feats)})")
+    skipped = [n for n, f1, f2 in VFINAL_EXPERIMENTS
+               if (n, f1, f2) not in avail]
+    if skipped:
+        print(f"[train] experiments skipped (features missing): {skipped}")
 
     experiments = []
-    for seed in args.seeds:
-        model_path = os.path.join(workdir, f"experiments/config1_seed{seed}")
-        cfg = {
-            "wav_dir": args.wav_dir,
-            "txt_dir": dirs["txt_csv"],
-            "lazy_dir1": dirs["lazy_dir1"],
-            "lazy_dir2": dirs["lazy_dir2"],
-            "label_path": args.label_path,
-            "feat1_dim": feat1_dim,
-            "feat2_dim": feat2_dim,
-            "use_balanced_batch": False,
-            "use_focalloss": False,
-            "epochs": args.epochs,
-            "lr": 1e-05,
-            "model_path": model_path,
-            "batch_size": args.batch_size,
-            "accum_step": 1,
-        }
-        cfg_path = os.path.join(workdir, f"config1_seed{seed}.json")
-        with open(cfg_path, "w") as f:
-            json.dump(cfg, f, indent=1)
+    per_exp = {}
+    for name, fam1, fam2 in avail:
+        for seed in args.seeds:
+            model_path = os.path.join(workdir, f"experiments/{name}_seed{seed}")
+            cfg = {
+                "wav_dir": args.wav_dir,
+                "txt_dir": dirs["txt_csv"],
+                "lazy_dir1": feats[fam1],
+                "lazy_dir2": feats[fam2],
+                "label_path": args.label_path,
+                "feat1_dim": _feat_dim(args.ckpt_dir, fam1),
+                "feat2_dim": _feat_dim(args.ckpt_dir, fam2),
+                "use_balanced_batch": False,
+                "use_focalloss": False,
+                "epochs": args.epochs,
+                "lr": 1e-05,
+                "model_path": model_path,
+                "batch_size": args.batch_size,
+                "accum_step": 1,
+            }
+            cfg_path = os.path.join(workdir, f"{name}_seed{seed}.json")
+            with open(cfg_path, "w") as f:
+                json.dump(cfg, f, indent=1)
 
-        print(f"[train] config #1, seed {seed} ...")
-        best = cli.train_main(argv=["--seed", str(seed), "--config_path", cfg_path])
-        print(f"[train] seed {seed}: best dev macro-F1 = {best['macro_f1']:.4f}")
+            print(f"[train] {name}, seed {seed} ...")
+            best = cli.train_main(
+                argv=["--seed", str(seed), "--config_path", cfg_path]
+            )
+            print(f"[train] {name} seed {seed}: "
+                  f"best dev macro-F1 = {best['macro_f1']:.4f}")
+            per_exp[f"{name}_seed{seed}"] = float(best["macro_f1"])
 
-        print(f"[score] dev + train-stacking logits, seed {seed} ...")
-        cli.eval_main(argv=["--seed", str(seed), "--config_path", cfg_path])
-        cli.extract_train_main(argv=[
-            "--seed", str(seed), "--config_path", cfg_path,
-            "--train_df", _stacking_df(args, workdir),
-        ])
-        experiments.append(model_path)
+            print(f"[score] dev + train-stacking logits, {name} seed {seed} ...")
+            cli.eval_main(argv=["--seed", str(seed), "--config_path", cfg_path])
+            cli.extract_train_main(argv=[
+                "--seed", str(seed), "--config_path", cfg_path,
+                "--train_df", _stacking_df(args, workdir),
+            ])
+            experiments.append(model_path)
 
     # stacking labels: FileName + EmoClass letters (+ Gender if present)
     label_df = pd.read_csv(args.label_path)
@@ -230,7 +292,7 @@ def stage_train_and_stack(args, workdir: str, dirs: dict) -> dict:
     stack_label_path = os.path.join(workdir, "stacking_labels.csv")
     stack_labels.to_csv(stack_label_path, index=False)
 
-    print(f"[stack] RF stacking over {len(experiments)} seed models ...")
+    print(f"[stack] RF stacking over {len(experiments)} experiment models ...")
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "test"))
     import stacking
 
@@ -239,7 +301,12 @@ def stage_train_and_stack(args, workdir: str, dirs: dict) -> dict:
         "--out_dir", os.path.join(workdir, "stacking_models"),
         "--k", str(args.stacking_folds),
     ])
-    return {"dev_macro_f1": float(macro), "reference_f1": REFERENCE_F1}
+    return {
+        "dev_macro_f1": float(macro),
+        "reference_f1": REFERENCE_F1,
+        "per_experiment_dev_f1": per_exp,
+        "experiments_skipped": skipped,
+    }
 
 
 def _stacking_df(args, workdir: str) -> str:
@@ -327,6 +394,16 @@ def make_dryrun_fixtures(workdir: str) -> argparse.Namespace:
     )
     AutoModel.from_config(scfg).eval().save_pretrained(
         os.path.join(ckpt_dir, "wavlm-large"))
+
+    # --- hubert-xlarge stand-in: lets the dryrun train 4 of the 5 VFINAL
+    # ensemble experiments (deberta needs sentencepiece, absent here) ---
+    hcfg = AutoConfig.for_model(
+        "hubert", hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=96, conv_dim=(16,) * 7, conv_bias=True,
+        feat_extract_norm="layer", do_stable_layer_norm=True,
+    )
+    AutoModel.from_config(hcfg).eval().save_pretrained(
+        os.path.join(ckpt_dir, "hubert-xlarge"))
 
     # --- synthetic wavs + labels: 8 classes × (3 train + 2 dev) ---
     from interspeech_ser_tpu.utils import labels as L
@@ -426,11 +503,19 @@ def main(argv=None):
     if "extract" in stages:
         summary["extract_dirs"] = stage_extract(args, args.workdir)
     if "train" in stages:
-        dirs = summary.get("extract_dirs") or {
-            "lazy_dir1": os.path.join(args.workdir, "data_tmp", "whisper_large_v3"),
-            "lazy_dir2": os.path.join(args.workdir, "data_tmp", "roberta_large"),
-            "txt_csv": args.transcripts,
-        }
+        dirs = summary.get("extract_dirs")
+        if not dirs:
+            # resume mode (--stages train): pick up previously extracted dirs
+            base = os.path.join(args.workdir, "data_tmp")
+            feat_dirs = {
+                fam: os.path.join(base, fam.replace("-", "_"))
+                for fam in (
+                    "whisper-large-v3", "roberta-large", "wavlm-large",
+                    "hubert-xlarge", "w2v2-xls-r-2b", "deberta-v2-xxl",
+                )
+                if os.path.isdir(os.path.join(base, fam.replace("-", "_")))
+            }
+            dirs = {"feat_dirs": feat_dirs, "txt_csv": args.transcripts}
         summary["quality"] = stage_train_and_stack(args, args.workdir, dirs)
         f1 = summary["quality"]["dev_macro_f1"]
         print(f"\n=== dev macro-F1 {f1:.4f} vs reference {REFERENCE_F1} "
