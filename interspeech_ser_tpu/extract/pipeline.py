@@ -431,14 +431,20 @@ class TextExtractionPipeline:
         max_length: int = 80,
         batch_size: int = 64,
         num_workers: int = 8,
+        n_devices: Optional[int] = None,
     ):
+        from ..parallel.mesh import make_mesh, replicate as _replicate
+
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.model = model
-        self.params = params
+        self.params = _replicate(self.mesh, params)
         self.tokenize = tokenize
         self.n_layer = n_layer
         self.use_average = use_average
         self.max_length = max_length
-        self.batch_size = batch_size
+        # static batches, rows a multiple of the data axis
+        self.batch_size = ((batch_size + self.n_data - 1) // self.n_data) * self.n_data
         self.num_workers = num_workers
         self._fwd = None
 
@@ -455,7 +461,18 @@ class TextExtractionPipeline:
                 sel = hs[self.n_layer]
             return sel.astype(jnp.float32)
 
-        self._fwd = jax.jit(fwd)
+        if self.n_data > 1:
+            # same shard_map rationale as the speech/whisper pipelines
+            from jax.sharding import PartitionSpec as P
+
+            self._fwd = jax.jit(
+                jax.shard_map(
+                    fwd, mesh=self.mesh, in_specs=(P(), P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False,
+                )
+            )
+        else:
+            self._fwd = jax.jit(fwd)
         return self._fwd
 
     def run(self, names: Sequence[str], texts: Sequence[str], save_path: str) -> ExtractionStats:
