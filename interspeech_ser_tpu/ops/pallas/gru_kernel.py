@@ -187,9 +187,9 @@ def _kernel_bidir_bwd(
 
     @pl.when(t == 0)
     def _init():
-        dh_scr[:] = jnp.zeros_like(dh_scr)
-        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
-        dbhh_ref[...] = jnp.zeros_like(dbhh_ref)
+        dh_scr[:] = jnp.zeros(dh_scr.shape, dh_scr.dtype)
+        dwhh_ref[...] = jnp.zeros(dwhh_ref.shape, dwhh_ref.dtype)
+        dbhh_ref[...] = jnp.zeros(dbhh_ref.shape, dbhh_ref.dtype)
 
     hprev = hprev_ref[0]  # [2B, H] f32
     xp = x_ref[0]
