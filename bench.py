@@ -144,9 +144,42 @@ def measure_e2e(n_utts: int = 64) -> float:
     return stats.utts_per_sec
 
 
+def _probe_device(timeout_s: float = 300.0) -> None:
+    """Fail fast (exit 3) if the axon TPU tunnel is unreachable.
+
+    The tunneled backend can hang ``jax.devices()`` indefinitely when the
+    tunnel is down (observed multi-hour outages); probing in a subprocess
+    with a hard timeout turns that hang into an honest, bounded failure
+    the driver can record instead of a stuck process. No CPU fallback:
+    a host-mesh number would not be comparable to the hardware metric.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if r.returncode == 0:
+            return
+        msg = r.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        msg = f"jax.devices() probe timed out after {timeout_s:.0f}s"
+    print(
+        "BENCH ABORTED: TPU backend unreachable (axon tunnel down?). "
+        f"{msg} — last hardware-measured value: see BENCH_r02.json "
+        "(259.76 utt/s, 5.195x). Code path unchanged; re-run when the "
+        "tunnel is up.",
+        file=sys.stderr,
+    )
+    sys.exit(3)
+
+
 def main():
     import os
 
+    _probe_device()
     f32 = measure("float32")
     bf16 = measure("bfloat16")
     # fused conv-frontend Pallas prefix: self-protecting A/B — measured
