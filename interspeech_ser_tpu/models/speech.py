@@ -50,6 +50,13 @@ class SpeechConfig:
     # extraction pipelines / benches flip this on a config copy; training
     # engines must leave it False (gradients require the XLA paths)
     inference_kernels: bool = False
+    # Inference-only layout transform: one [D,3D] qkv matmul per layer
+    # instead of three [D,D] ones (the activations are read from HBM once
+    # instead of three times). Requires params rewritten by
+    # ``fuse_qkv_params`` — checkpoints/converters always carry the split
+    # q/k/v layout, so this is flipped on a config copy at load time after
+    # the transform (see scripts/exp_qkv_fused.py for the measured A/B).
+    fused_qkv: bool = False
     num_buckets: int = 320
     max_distance: int = 800
     num_conv_pos_embeddings: int = 128
@@ -400,9 +407,13 @@ class SpeechSelfAttention(nn.Module):
         # projections stay in [B, T, D]; head split happens inside the
         # attention core (the oneshot2 kernel slices head columns via its
         # BlockSpec index map, other impls transpose and XLA fuses it)
-        q = _proj_dense(cfg, D, "q_proj")(x)
-        k = _proj_dense(cfg, D, "k_proj")(x)
-        v = _proj_dense(cfg, D, "v_proj")(x)
+        if cfg.fused_qkv:
+            qkv = _proj_dense(cfg, 3 * D, "qkv_proj")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = _proj_dense(cfg, D, "q_proj")(x)
+            k = _proj_dense(cfg, D, "k_proj")(x)
+            v = _proj_dense(cfg, D, "v_proj")(x)
 
         gate_out = None
         if cfg.attention_type == "wavlm":
@@ -619,3 +630,29 @@ class SpeechEncoderModel(nn.Module):
             "hidden_states": hidden_states,
             "frame_mask": frame_mask,
         }
+
+
+def fuse_qkv_params(params):
+    """Rewrite split q/k/v projection params into the fused qkv layout.
+
+    Returns a NEW param tree whose per-layer ``attention`` carries one
+    ``qkv_proj`` ([D, 3D] kernel / [3D] bias, column order q|k|v matching
+    the ``jnp.split`` in ``SpeechSelfAttention``) in place of
+    ``{q,k,v}_proj``. Exact relayout — no numerics change; pair with
+    ``dataclasses.replace(cfg, fused_qkv=True)``.
+    """
+    out = {}
+    for name, sub in params.items():
+        if name.startswith("layer") and "attention" in sub:
+            attn = dict(sub["attention"])
+            if all(p in attn for p in ("q_proj", "k_proj", "v_proj")):
+                parts = [attn.pop(p) for p in ("q_proj", "k_proj", "v_proj")]
+                qkv = {
+                    "kernel": jnp.concatenate([p["kernel"] for p in parts], axis=1)
+                }
+                if "bias" in parts[0]:
+                    qkv["bias"] = jnp.concatenate([p["bias"] for p in parts])
+                attn["qkv_proj"] = qkv
+            sub = {**sub, "attention": attn}
+        out[name] = sub
+    return out

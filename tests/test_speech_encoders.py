@@ -148,3 +148,57 @@ class TestBatchedPaddedEqualsSingle:
 # extraction shapes — dynamic per-row activation quant is VPU-bound — and
 # was removed per the round-2 review. scripts/exp_int8_matmul.py keeps the
 # decisive raw-MXU microbench.)
+
+
+class TestFusedQKV:
+    def test_fused_qkv_matches_split(self):
+        """fuse_qkv_params + fused_qkv=True is an exact relayout (f32)."""
+        import dataclasses
+
+        from interspeech_ser_tpu.models.speech import fuse_qkv_params
+
+        hf_cfg, hf_model = _build_hf("wavlm")
+        cfg = SpeechConfig.from_hf(hf_cfg)
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        wav = jnp.asarray(RNG.normal(size=(2, 1600)).astype(np.float32))
+        ref = model.apply({"params": params}, wav)
+
+        fcfg = dataclasses.replace(cfg, fused_qkv=True)
+        fmodel = SpeechEncoderModel(fcfg)
+        fparams = fuse_qkv_params(params)
+        got = fmodel.apply({"params": fparams}, wav)
+
+        # shape sanity: no split projections remain, fused kernel is [D,3D]
+        attn0 = fparams["layer0"]["attention"]
+        assert "q_proj" not in attn0 and "qkv_proj" in attn0
+        D = cfg.hidden_size
+        assert attn0["qkv_proj"]["kernel"].shape == (D, 3 * D)
+
+        for i, (r, o) in enumerate(zip(ref["hidden_states"], got["hidden_states"])):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(r), atol=1e-5,
+                err_msg=f"hidden_states[{i}]",
+            )
+
+    def test_fused_init_shapes(self):
+        """fused model also initializes standalone (random-weight benches)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            SpeechConfig(
+                hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+                conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2),
+                feat_extract_norm="layer", do_stable_layer_norm=True,
+                conv_bias=True, attention_type="wavlm",
+            ),
+            fused_qkv=True,
+        )
+        model = SpeechEncoderModel(cfg)
+        wav = jnp.zeros((1, 800), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), wav)["params"]
+        assert params["layer0"]["attention"]["qkv_proj"]["kernel"].shape == (32, 96)
+        out = model.apply({"params": params}, wav)
+        assert out["last_hidden_state"].shape[0] == 1
