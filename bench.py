@@ -7,8 +7,16 @@ north-star hot path (preprocessing/preprocess_speech.py batch-1 A100
 forwards; SURVEY.md §3.1). Weights are random (identical compute to the
 converted checkpoint). Measures the full device path the extraction
 pipeline runs per batch: conv frontend + 24-layer encoder + on-device
-layer-select, f32 and bf16; reports the bf16 number (MXU path; parity mode
-is f32 — see extract/pipeline.py).
+layer-select, f32 and bf16; reports the best bf16 variant (MXU path;
+parity mode is f32 — see extract/pipeline.py).
+
+The bf16 path is self-tuning over a SMALL curated config set (batch 32/64,
+fused conv-frontend prefix on/off, fused qkv layout on/off): each variant
+is numerically parity-checked against the plain path before it may set the
+headline, and any compile/runtime failure just drops that variant — an
+untested kernel can never regress or corrupt the number. Winners observed
+on hardware: B=32 > B=16 (+4%, r02); oneshot2 attention default (+8-10%,
+r03); fused frontend / fused qkv ride this A/B until hardware confirms.
 
 ``vs_baseline`` divides by 50 utt/s — a *favorable-to-the-reference*
 estimate of its per-utterance batch-1 A100 path (~315 GFLOP / 10-s
@@ -19,6 +27,7 @@ Timing notes: slope method over two loop lengths with a forced readback —
 ``block_until_ready`` can return early under the tunneled remote runtime.
 """
 
+import dataclasses
 import json
 import time
 
@@ -29,20 +38,33 @@ import jax.numpy as jnp
 
 from interspeech_ser_tpu.models.speech import (
     SpeechEncoderModel,
-    default_fused_frontend,
+    fuse_qkv_params,
     wavlm_large,
 )
 
 BASELINE_A100_UTT_PER_SEC = 50.0
-# B=32 matches the extraction pipeline's default token budget (320 s of
-# audio per batch); measured on v5e: 258.7 utt/s at B=32 vs 248.2 at B=16
-# (conv frontend tiles better at the larger batch).
-BATCH = 32
 SECONDS = 10.0
 T = int(16000 * SECONDS)
 
 
-def measure(dtype: str, n_chain: int = 10, fused_frontend: int = 0) -> float:
+def _build(dtype: str, fused_frontend: int, fused_qkv: bool):
+    """(model, params) for a variant; qkv fusing is an exact param relayout."""
+    cfg = dataclasses.replace(wavlm_large(dtype=dtype), inference_kernels=True)
+    base = SpeechEncoderModel(cfg)
+    params = base.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16000), jnp.float32),
+        jnp.ones((1, 16000), jnp.float32),
+    )["params"]
+    if dtype == "bfloat16":
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if fused_qkv:
+        cfg = dataclasses.replace(cfg, fused_qkv=True)
+        params = fuse_qkv_params(params)
+    return SpeechEncoderModel(cfg, fused_frontend=fused_frontend), params
+
+
+def measure(model, params, batch: int, n_chain: int = 10) -> float:
     """Chained-dependency timing: N dependent forwards inside ONE jit.
 
     The tunneled runtime makes per-call timing unreliable (block_until_ready
@@ -50,18 +72,9 @@ def measure(dtype: str, n_chain: int = 10, fused_frontend: int = 0) -> float:
     forwards on-device and timing a single dispatch is the only method it
     can't fool.
     """
-    import dataclasses
-
-    # inference-only bench: opt into the no-vjp Pallas kernels, exactly
-    # as SpeechExtractionPipeline does
-    cfg = dataclasses.replace(wavlm_large(dtype=dtype), inference_kernels=True)
-    model = SpeechEncoderModel(cfg, fused_frontend=fused_frontend)
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.normal(size=(BATCH, T)).astype(np.float32))
-    mask = jnp.ones((BATCH, T), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
-    if dtype == "bfloat16":
-        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    wav = jnp.asarray(rng.normal(size=(batch, T)).astype(np.float32))
+    mask = jnp.ones((batch, T), jnp.float32)
 
     def fwd(params, wav, mask):
         return model.apply({"params": params}, wav, mask)["last_hidden_state"]
@@ -82,31 +95,16 @@ def measure(dtype: str, n_chain: int = 10, fused_frontend: int = 0) -> float:
     out = chained(params, wav, mask)
     float(out[0, 0])
     total = time.perf_counter() - t0
-    return BATCH * n_chain / total
+    return batch * n_chain / total
 
 
-def _fused_parity_ok(min_cosine: float = 0.999) -> bool:
-    """Fused-frontend forward must agree with the XLA path (bf16)."""
-    import dataclasses
-
-    cfg = dataclasses.replace(wavlm_large(dtype="bfloat16"), inference_kernels=True)
-    rng = np.random.default_rng(7)
-    wav = jnp.asarray(rng.normal(size=(2, 32000)).astype(np.float32))
-    mask = jnp.ones((2, 32000), jnp.float32)
-    ref_m = SpeechEncoderModel(cfg)
-    params = ref_m.init(jax.random.PRNGKey(0), wav, mask)["params"]
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    a = np.asarray(
-        ref_m.apply({"params": params}, wav, mask)["last_hidden_state"],
-        np.float64,
+def _variant_parity_ok(model, params, ref_out, wav, mask, min_cosine=0.999) -> bool:
+    """A variant's forward must agree with the plain bf16 path — a
+    miscompiled kernel that runs fast but wrong must not set the headline."""
+    got = np.asarray(
+        model.apply({"params": params}, wav, mask)["last_hidden_state"], np.float64
     ).ravel()
-    b = np.asarray(
-        SpeechEncoderModel(cfg, fused_frontend=2).apply(
-            {"params": params}, wav, mask
-        )["last_hidden_state"],
-        np.float64,
-    ).ravel()
-    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    cos = float(ref_out @ got / (np.linalg.norm(ref_out) * np.linalg.norm(got) + 1e-12))
     return cos >= min_cosine
 
 
@@ -117,7 +115,7 @@ def measure_e2e(n_utts: int = 64) -> float:
     import wave as wave_mod
 
     from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
-    from interspeech_ser_tpu.models.speech import SpeechEncoderModel as M
+    from interspeech_ser_tpu.models.speech import default_fused_frontend
 
     rng = np.random.default_rng(1)
     tmp = tempfile.mkdtemp(prefix="bench_wavs_")
@@ -132,7 +130,7 @@ def measure_e2e(n_utts: int = 64) -> float:
             w.writeframes(pcm.tobytes())
 
     cfg = wavlm_large(dtype="bfloat16")
-    model = M(cfg, fused_frontend=default_fused_frontend(cfg))
+    model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 16000), jnp.float32),
         jnp.ones((1, 16000), jnp.float32),
@@ -180,21 +178,43 @@ def main():
     import os
 
     _probe_device()
-    f32 = measure("float32")
-    bf16 = measure("bfloat16")
-    # fused conv-frontend Pallas prefix: self-protecting A/B — measured
-    # alongside the XLA frontend and only the winner is reported, so an
-    # untested Mosaic compile can never regress the headline. Guarded
-    # twice: any compile/runtime failure falls back, and the fused
-    # forward must match the XLA forward numerically (a miscompiled
-    # kernel that runs fast but wrong must not set the headline).
-    try:
-        bf16_fused = measure("bfloat16", fused_frontend=2)
-        if not _fused_parity_ok():
-            bf16_fused = 0.0
-    except Exception:
-        bf16_fused = 0.0
-    value = max(f32, bf16, bf16_fused)
+
+    f32_model, f32_params = _build("float32", 0, False)
+    f32 = measure(f32_model, f32_params, batch=32)
+
+    plain_model, plain_params = _build("bfloat16", 0, False)
+    bf16 = measure(plain_model, plain_params, batch=32)
+
+    # parity reference for the variants (small shapes — cheap)
+    rng = np.random.default_rng(7)
+    pwav = jnp.asarray(rng.normal(size=(2, 32000)).astype(np.float32))
+    pmask = jnp.ones((2, 32000), jnp.float32)
+    ref_out = np.asarray(
+        plain_model.apply({"params": plain_params}, pwav, pmask)["last_hidden_state"],
+        np.float64,
+    ).ravel()
+
+    variants = {}
+    best, best_name = bf16, "bf16_b32"
+    for name, (batch, ff, qkv) in {
+        "bf16_b64": (64, 0, False),
+        "bf16_b32_fusedfe": (32, 2, False),
+        "bf16_b32_fusedqkv": (32, 0, True),
+        "bf16_b32_fusedfe_qkv": (32, 2, True),
+    }.items():
+        try:
+            model, params = _build("bfloat16", ff, qkv)
+            if not _variant_parity_ok(model, params, ref_out, pwav, pmask):
+                variants[name] = "parity-fail"
+                continue
+            v = measure(model, params, batch=batch)
+            variants[name] = round(v, 2)
+            if v > best:
+                best, best_name = v, name
+        except Exception as e:  # compile/runtime failure → drop the variant
+            variants[name] = f"failed:{type(e).__name__}"
+
+    value = max(f32, best)
     result = {
         "metric": "wavlm_large_extraction_utt_per_sec",
         "value": round(value, 2),
@@ -202,7 +222,8 @@ def main():
         "vs_baseline": round(value / BASELINE_A100_UTT_PER_SEC, 3),
         "f32_utt_per_sec": round(f32, 2),
         "bf16_utt_per_sec": round(bf16, 2),
-        "bf16_fused_frontend_utt_per_sec": round(bf16_fused, 2),
+        "best_variant": best_name,
+        "variants": variants,
         "device": str(jax.devices()[0]),
         "note": "baseline=50 utt/s favorable A100 batch-1 estimate; target >=5x",
     }
