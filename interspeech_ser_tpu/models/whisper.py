@@ -33,6 +33,10 @@ class WhisperEncoderConfig:
     dtype: str = "float32"
     # inference-only Pallas attention opt-in (no vjp) — see SpeechConfig
     inference_kernels: bool = False
+    # inference-only fused [D,3D] qkv layout; requires params rewritten by
+    # ``fuse_qkv_params_whisper`` (k_proj is bias-less in whisper — the
+    # fused bias carries zeros in the k slice, which is exact)
+    fused_qkv: bool = False
 
     @property
     def compute_dtype(self):
@@ -73,9 +77,15 @@ class _WhisperAttention(nn.Module):
         hd = D // H
         dt = cfg.compute_dtype
         B, T, _ = x.shape
-        q = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="q_proj")(x)
-        k = nn.Dense(D, use_bias=False, dtype=dt, param_dtype=jnp.float32, name="k_proj")(x)
-        v = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="v_proj")(x)
+        if cfg.fused_qkv:
+            qkv = nn.Dense(
+                3 * D, dtype=dt, param_dtype=jnp.float32, name="qkv_proj"
+            )(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="q_proj")(x)
+            k = nn.Dense(D, use_bias=False, dtype=dt, param_dtype=jnp.float32, name="k_proj")(x)
+            v = nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="v_proj")(x)
         # head split happens inside the attention core ([B,T,D] entry —
         # the oneshot2 kernel consumes projection layout directly)
         out = dot_product_attention_btd(
@@ -144,3 +154,28 @@ class WhisperEncoderModel(nn.Module):
         )(h).astype(dt)
         hidden_states[-1] = h
         return {"last_hidden_state": h, "hidden_states": hidden_states}
+
+
+def fuse_qkv_params_whisper(params):
+    """Rewrite split q/k/v into the fused layout (see ``fused_qkv``).
+
+    Exact relayout: kernels concat to [D, 3D]; the fused bias is
+    [q_bias | zeros | v_bias] (whisper's k_proj carries no bias term).
+    """
+    out = {}
+    for name, sub in params.items():
+        if name.startswith("layer") and "self_attn" in sub:
+            attn = dict(sub["self_attn"])
+            if all(p in attn for p in ("q_proj", "k_proj", "v_proj")):
+                q, k, v = (attn.pop(p) for p in ("q_proj", "k_proj", "v_proj"))
+                attn["qkv_proj"] = {
+                    "kernel": jnp.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1
+                    ),
+                    "bias": jnp.concatenate(
+                        [q["bias"], jnp.zeros_like(q["bias"]), v["bias"]]
+                    ),
+                }
+            sub = {**sub, "self_attn": attn}
+        out[name] = sub
+    return out

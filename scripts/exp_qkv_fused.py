@@ -88,4 +88,57 @@ for label, model, p in (
         return model.apply({"params": p}, w, m)["last_hidden_state"]
 
     t = timed(fwd, wav, mask)
-    print(f"e2e {label}: {t*1e3:7.2f} ms  {B/t:7.1f} utt/s", flush=True)
+    print(f"e2e wavlm {label}: {t*1e3:7.2f} ms  {B/t:7.1f} utt/s", flush=True)
+
+
+# ---- whisper-large-v3 encoder (T=1500 → larger avoidable HBM reads) ----
+from interspeech_ser_tpu.models.whisper import (  # noqa: E402
+    WhisperEncoderModel,
+    fuse_qkv_params_whisper,
+    whisper_large_v3,
+)
+
+WB = int(os.environ.get("EXP_WHISPER_B", 8))
+WT = int(os.environ.get("EXP_WHISPER_TMEL", 3000))
+wcfg = dataclasses.replace(whisper_large_v3(dtype="bfloat16"), inference_kernels=True)
+wmodel = WhisperEncoderModel(wcfg)
+mel = jnp.asarray(rng.normal(size=(WB, wcfg.num_mel_bins, WT)).astype(np.float32))
+wparams = wmodel.init(jax.random.PRNGKey(0), mel[:1])["params"]
+wparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), wparams)
+wf_cfg = dataclasses.replace(wcfg, fused_qkv=True)
+wf_model = WhisperEncoderModel(wf_cfg)
+wf_params = fuse_qkv_params_whisper(wparams)
+
+a = np.asarray(
+    wmodel.apply({"params": wparams}, mel[:1])["last_hidden_state"], np.float64
+).ravel()
+b = np.asarray(
+    wf_model.apply({"params": wf_params}, mel[:1])["last_hidden_state"], np.float64
+).ravel()
+cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+print(f"whisper parity cosine (bf16): {cos:.6f}", flush=True)
+
+for label, model, p in (
+    ("split-qkv", wmodel, wparams),
+    ("fused-qkv", wf_model, wf_params),
+):
+    def fwd(m_in, model=model, p=p):
+        return model.apply({"params": p}, m_in)["last_hidden_state"]
+
+    @jax.jit
+    def chained(m_in, fwd=fwd):
+        def body(i, m_):
+            out = fwd(m_)
+            return m_ + (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(m_.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, N_CHAIN, body, m_in))
+
+    float(chained(mel))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(mel))
+        best = min(best, (time.perf_counter() - t0) / N_CHAIN)
+    print(
+        f"e2e whisper {label}: {best*1e3:7.2f} ms  {WB/best:7.1f} windows/s",
+        flush=True,
+    )

@@ -84,3 +84,38 @@ class TestWhisperEncoderParity:
         ref = hf_enc.embed_positions.weight.detach().numpy()
         ours = sinusoidal_positions(hf_cfg.max_source_positions, hf_cfg.d_model)
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestFusedQKVWhisper:
+    def test_fused_qkv_matches_split(self):
+        """fuse_qkv_params_whisper + fused_qkv=True is exact (k bias = 0)."""
+        import dataclasses
+
+        from interspeech_ser_tpu.models.whisper import fuse_qkv_params_whisper
+
+        hf_cfg, hf_enc = _build_hf_whisper()
+        cfg = WhisperEncoderConfig.from_hf(hf_cfg)
+        model = WhisperEncoderModel(cfg)
+        params = whisper_encoder_hf_to_flax(
+            {k: v.numpy() for k, v in hf_enc.state_dict().items()}, cfg
+        )
+        mel = jnp.asarray(RNG.normal(size=(2, 16, 120)).astype(np.float32))
+        ref = model.apply({"params": params}, mel)
+
+        fcfg = dataclasses.replace(cfg, fused_qkv=True)
+        fparams = fuse_qkv_params_whisper(params)
+        attn0 = fparams["layer0"]["self_attn"]
+        assert "q_proj" not in attn0
+        D = cfg.d_model
+        assert attn0["qkv_proj"]["kernel"].shape == (D, 3 * D)
+        assert attn0["qkv_proj"]["bias"].shape == (3 * D,)
+        # k-slice of the fused bias must be exactly zero
+        np.testing.assert_array_equal(
+            np.asarray(attn0["qkv_proj"]["bias"][D : 2 * D]), 0.0
+        )
+        got = WhisperEncoderModel(fcfg).apply({"params": fparams}, mel)
+        for i, (r, o) in enumerate(zip(ref["hidden_states"], got["hidden_states"])):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(r), atol=1e-5,
+                err_msg=f"hidden_states[{i}]",
+            )
