@@ -26,7 +26,7 @@ import os
 import queue
 import threading
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -179,17 +179,18 @@ def epoch_batches(
     return batches
 
 
-_length_cache: Dict[int, np.ndarray] = {}
-
-
 def _primary_lengths(dataset: LazyFeatureDataset) -> np.ndarray:
     """Cheap per-utterance length proxy for bucketing.
 
     Reads each primary-modality ``.pt`` header once (file size is a faithful
-    monotone proxy for T since D is constant) and caches per dataset.
+    monotone proxy for T since D is constant) and caches ON the dataset
+    instance. (An earlier ``id(dataset)``-keyed module dict could hand a new
+    dataset the stale sizes of a garbage-collected one at the same address —
+    argsorting a stale LONGER array then emits out-of-range indices, which
+    crashed eval in any process that builds several datasets sequentially.)
     """
-    key = id(dataset)
-    if key not in _length_cache:
+    sizes = getattr(dataset, "_primary_length_sizes", None)
+    if sizes is None:
         sizes = np.zeros(len(dataset), dtype=np.int64)
         for i in range(len(dataset)):
             p = dataset._paths(i)[0]
@@ -197,8 +198,8 @@ def _primary_lengths(dataset: LazyFeatureDataset) -> np.ndarray:
                 sizes[i] = os.path.getsize(p)
             except OSError:
                 sizes[i] = 0
-        _length_cache[key] = sizes
-    return _length_cache[key]
+        dataset._primary_length_sizes = sizes
+    return sizes
 
 
 class PrefetchLoader:
