@@ -110,6 +110,22 @@ class SpeechExtractionPipeline:
 
             config = _dc.replace(config, inference_kernels=True)
             model = model.clone(config=config)
+        # fused [D,3D] qkv layout (exact relayout, models/speech.py
+        # fuse_qkv_params): env opt-in until the hardware A/B
+        # (scripts/exp_qkv_fused.py) decides the default. dp-only — the
+        # TP sharding spec addresses the split q/k/v param names.
+        if (
+            os.environ.get("SER_TPU_FUSED_QKV") == "1"
+            and model_parallel == 1
+            and getattr(config, "fused_qkv", None) is False
+        ):
+            import dataclasses as _dc
+
+            from ..models.speech import fuse_qkv_params
+
+            config = _dc.replace(config, fused_qkv=True)
+            model = model.clone(config=config)
+            params = fuse_qkv_params(params)
         self.model = model
         # bf16 mode: pre-cast the frozen params once (saves the per-step
         # f32→bf16 weight casts; norms still compute in f32 on bf16 inputs)
@@ -305,6 +321,18 @@ class WhisperExtractionPipeline:
 
             config = _dc.replace(config, inference_kernels=True)
             model = model.clone(config=config)
+        # fused qkv env opt-in (see SpeechExtractionPipeline)
+        if (
+            os.environ.get("SER_TPU_FUSED_QKV") == "1"
+            and getattr(config, "fused_qkv", None) is False
+        ):
+            import dataclasses as _dc
+
+            from ..models.whisper import fuse_qkv_params_whisper
+
+            config = _dc.replace(config, fused_qkv=True)
+            model = model.clone(config=config)
+            params = fuse_qkv_params_whisper(params)
         self.model = model
         if config.compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)

@@ -266,3 +266,31 @@ class TestTensorParallelExtraction:
             a = torch.load(os.path.join(save_dp, f), weights_only=True).numpy()
             b = torch.load(os.path.join(save_tp, f), weights_only=True).numpy()
             np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+class TestFusedQKVExtraction:
+    def test_env_optin_matches_default(self, wav_dir, hf_wavlm_dir, tmp_path, monkeypatch):
+        """SER_TPU_FUSED_QKV=1 rewrites params to the fused layout inside
+        the pipeline; .pt outputs must equal the split-projection path."""
+        from transformers import AutoConfig
+
+        from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+        from interspeech_ser_tpu.models.convert_hf import speech_hf_to_flax
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        model_dir, hf_model = hf_wavlm_dir
+        cfg = SpeechConfig.from_hf(AutoConfig.from_pretrained(model_dir))
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        save_a, save_b = str(tmp_path / "split"), str(tmp_path / "fusedqkv")
+        SpeechExtractionPipeline(model, params, cfg, n_devices=1).run(wav_dir, save_a)
+        monkeypatch.setenv("SER_TPU_FUSED_QKV", "1")
+        pipe = SpeechExtractionPipeline(model, params, cfg, n_devices=1)
+        assert pipe.config.fused_qkv
+        pipe.run(wav_dir, save_b)
+        for f in sorted(os.listdir(save_a)):
+            a = torch.load(os.path.join(save_a, f), weights_only=True).numpy()
+            b = torch.load(os.path.join(save_b, f), weights_only=True).numpy()
+            np.testing.assert_allclose(b, a, atol=2e-4)
