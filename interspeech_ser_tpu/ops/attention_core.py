@@ -127,6 +127,21 @@ def dot_product_attention_btd(
             except VmemBudgetError:
                 pass
         impl = "xla"
+    if impl == "oneshot2_train":
+        # DIFFERENTIABLE one-shot pair (custom_vjp Pallas backward,
+        # ops/pallas/attention_bwd.py) — experiment opt-in via
+        # SER_TPU_ATTN_IMPL=oneshot2_train / force_impl until the
+        # training-step A/B (scripts/exp_attn_bwd.py) decides a default.
+        from .pallas.attention_bwd import oneshot_attention_train
+        from .pallas.flash_attention_short import VmemBudgetError
+
+        try:
+            return oneshot_attention_train(
+                q, k, v, num_heads, key_mask=key_mask, scale=scale,
+                gate=gate, pos_bias=shared_bias,
+            )
+        except VmemBudgetError:
+            impl = "xla"
     qh = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(B, -1, H, hd).transpose(0, 2, 1, 3)

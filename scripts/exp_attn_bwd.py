@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""A/B the differentiable one-shot attention pair on TRAINING steps (v5e).
+
+Targets the two fine-tune regimes that differentiate encoder attention:
+  1. WavLM-large end-to-end fine-tune micro-step (baseline trainer
+     shapes: micro-batch 8, 12-s wavs -> T=599 frames, gated rel-pos
+     bias) — value_and_grad through the 24-layer stack, frozen frontend.
+  2. Whisper-large-v3 encoder fine-tune step (LoRA trainer shapes:
+     B=4, T=1500, no bias).
+
+XLA autodiff (default) vs SER_TPU_ATTN_IMPL=oneshot2_train
+(ops/pallas/attention_bwd.py custom_vjp pair). Numeric guard: loss and
+grad-norm must agree before a variant's time counts. Chained-dispatch
+timing as everywhere (the tunnel defeats per-call timing).
+
+Run: python scripts/exp_attn_bwd.py
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_CHAIN = int(os.environ.get("EXP_CHAIN", 4))
+
+
+def timed_vg(loss_fn, params, *args):
+    @jax.jit
+    def chained(params, *a):
+        def body(i, carry):
+            p, acc = carry
+            val, grads = jax.value_and_grad(loss_fn)(p, *a)
+            # fold the grad back into the params -> true serial chain
+            p = jax.tree.map(lambda x, g: x + 1e-12 * g.astype(x.dtype), p, grads)
+            return p, acc + val
+        _, acc = jax.lax.fori_loop(0, N_CHAIN, body, (params, 0.0))
+        return acc
+
+    float(chained(params, *args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(params, *args))
+        best = min(best, (time.perf_counter() - t0) / N_CHAIN)
+    return best
+
+
+def check_pair(loss_fn, params, *args):
+    """loss + grad-norm under both impls; returns (ok, rel_diffs)."""
+    os.environ.pop("SER_TPU_ATTN_IMPL", None)
+    v0, g0 = jax.value_and_grad(loss_fn)(params, *args)
+    n0 = float(
+        jnp.sqrt(
+            sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(g0))
+        )
+    )
+    os.environ["SER_TPU_ATTN_IMPL"] = "oneshot2_train"
+    v1, g1 = jax.value_and_grad(loss_fn)(params, *args)
+    n1 = float(
+        jnp.sqrt(
+            sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(g1))
+        )
+    )
+    os.environ.pop("SER_TPU_ATTN_IMPL", None)
+    dv = abs(float(v1) - float(v0)) / (abs(float(v0)) + 1e-9)
+    dn = abs(n1 - n0) / (n0 + 1e-9)
+    return (dv < 5e-2 and dn < 5e-2), (dv, dn)
+
+
+def run_case(name, loss_fn, params, *args):
+    ok, (dv, dn) = check_pair(loss_fn, params, *args)
+    print(f"{name}: parity dv={dv:.2e} dgradnorm={dn:.2e} ok={ok}", flush=True)
+    os.environ.pop("SER_TPU_ATTN_IMPL", None)
+    t_xla = timed_vg(loss_fn, params, *args)
+    print(f"{name} xla:            {t_xla*1e3:8.2f} ms/step", flush=True)
+    if ok:
+        os.environ["SER_TPU_ATTN_IMPL"] = "oneshot2_train"
+        t_ker = timed_vg(loss_fn, params, *args)
+        os.environ.pop("SER_TPU_ATTN_IMPL", None)
+        print(
+            f"{name} oneshot2_train: {t_ker*1e3:8.2f} ms/step "
+            f"({t_xla/t_ker:.3f}x)",
+            flush=True,
+        )
+
+
+def wavlm_case():
+    from interspeech_ser_tpu.models.speech import (
+        SpeechConfig,
+        SpeechEncoderModel,
+        wavlm_large,
+    )
+
+    B, SECS = 8, 12.0
+    T = int(16000 * SECS)
+    dt = os.environ.get("EXP_DTYPE", "bfloat16")
+    if os.environ.get("EXP_SMALL") == "1":  # CPU smoke of the harness
+        B, T = 2, 16000
+        cfg = SpeechConfig(
+            hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+            conv_dim=(16,) * 7, feat_extract_norm="layer",
+            do_stable_layer_norm=True, conv_bias=True, attention_type="wavlm",
+            dtype=dt,
+        )
+    else:
+        cfg = wavlm_large(dtype=dt)
+    model = SpeechEncoderModel(cfg)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (cfg.hidden_size,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
+
+    def loss(params, wav, mask):
+        out = model.apply(
+            {"params": params}, wav, mask, freeze_feature_extractor=True
+        )
+        h = out["last_hidden_state"].astype(jnp.float32)
+        return jnp.mean(jnp.square(h @ w))
+
+    run_case(f"wavlm-ft(B{B},12s,{dt})", loss, params, wav, mask)
+
+
+def whisper_case():
+    from interspeech_ser_tpu.models.whisper import (
+        WhisperEncoderModel,
+        whisper_large_v3,
+    )
+
+    B, TMEL = 4, 3000
+    dt = os.environ.get("EXP_DTYPE", "bfloat16")
+    cfg = whisper_large_v3(dtype=dt)
+    if os.environ.get("EXP_SMALL") == "1":
+        from interspeech_ser_tpu.models.whisper import WhisperEncoderConfig
+
+        B, TMEL = 2, 120
+        cfg = WhisperEncoderConfig(
+            num_mel_bins=16, d_model=32, encoder_layers=2,
+            encoder_attention_heads=4, encoder_ffn_dim=64,
+            max_source_positions=TMEL // 2, dtype=dt,
+        )
+    model = WhisperEncoderModel(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(B, cfg.num_mel_bins, TMEL)).astype(np.float32))
+    w = jax.random.normal(jax.random.PRNGKey(1), (cfg.d_model,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel[:1])["params"]
+
+    def loss(params, mel):
+        h = model.apply({"params": params}, mel)["last_hidden_state"]
+        return jnp.mean(jnp.square(h.astype(jnp.float32) @ w))
+
+    run_case(f"whisper-ft(B{B},30s,{dt})", loss, params, mel)
+
+
+if __name__ == "__main__":
+    wavlm_case()
+    whisper_case()
