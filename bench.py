@@ -47,21 +47,16 @@ SECONDS = 10.0
 T = int(16000 * SECONDS)
 
 
-def _build(dtype: str, fused_frontend: int, fused_qkv: bool):
-    """(model, params) for a variant; qkv fusing is an exact param relayout."""
-    cfg = dataclasses.replace(wavlm_large(dtype=dtype), inference_kernels=True)
-    base = SpeechEncoderModel(cfg)
-    params = base.init(
+def _init_params(cfg):
+    """One full-model init; every variant derives from these params
+    (bf16 = cast, fused qkv = exact relayout, fused frontend = module
+    arg) — re-initializing per variant costs full init+compile round
+    trips on the tunneled TPU for identical numerics."""
+    return SpeechEncoderModel(cfg).init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 16000), jnp.float32),
         jnp.ones((1, 16000), jnp.float32),
     )["params"]
-    if dtype == "bfloat16":
-        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    if fused_qkv:
-        cfg = dataclasses.replace(cfg, fused_qkv=True)
-        params = fuse_qkv_params(params)
-    return SpeechEncoderModel(cfg, fused_frontend=fused_frontend), params
 
 
 def measure(model, params, batch: int, n_chain: int = 10) -> float:
@@ -179,10 +174,15 @@ def main():
 
     _probe_device()
 
-    f32_model, f32_params = _build("float32", 0, False)
-    f32 = measure(f32_model, f32_params, batch=32)
+    cfg_f32 = dataclasses.replace(wavlm_large(dtype="float32"), inference_kernels=True)
+    f32_params = _init_params(cfg_f32)
+    f32 = measure(SpeechEncoderModel(cfg_f32), f32_params, batch=32)
 
-    plain_model, plain_params = _build("bfloat16", 0, False)
+    cfg_bf16 = dataclasses.replace(
+        wavlm_large(dtype="bfloat16"), inference_kernels=True
+    )
+    plain_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), f32_params)
+    plain_model = SpeechEncoderModel(cfg_bf16)
     bf16 = measure(plain_model, plain_params, batch=32)
 
     # parity reference for the variants (small shapes — cheap)
@@ -196,6 +196,8 @@ def main():
 
     variants = {}
     best, best_name = bf16, "bf16_b32"
+    cfg_qkv = dataclasses.replace(cfg_bf16, fused_qkv=True)
+    qkv_params = None  # fused lazily, once
     for name, (batch, ff, qkv) in {
         "bf16_b64": (64, 0, False),
         "bf16_b32_fusedfe": (32, 2, False),
@@ -203,7 +205,12 @@ def main():
         "bf16_b32_fusedfe_qkv": (32, 2, True),
     }.items():
         try:
-            model, params = _build("bfloat16", ff, qkv)
+            if qkv and qkv_params is None:
+                qkv_params = fuse_qkv_params(plain_params)
+            params = qkv_params if qkv else plain_params
+            model = SpeechEncoderModel(
+                cfg_qkv if qkv else cfg_bf16, fused_frontend=ff
+            )
             if not _variant_parity_ok(model, params, ref_out, pwav, pmask):
                 variants[name] = "parity-fail"
                 continue

@@ -126,6 +126,19 @@ class SpeechExtractionPipeline:
             config = _dc.replace(config, fused_qkv=True)
             model = model.clone(config=config)
             params = fuse_qkv_params(params)
+        # fused conv-frontend prefix (ops/pallas/conv_frontend.py): a
+        # module attr, dp-only like the kernels above. Depth comes from
+        # default_fused_frontend (auto 0 until the hardware A/B lands).
+        # SER_TPU_FRONTEND=xla|<n> forces either way; without it the
+        # caller's explicit non-zero depth is respected.
+        if model_parallel == 1:
+            from ..models.speech import default_fused_frontend
+
+            ff_depth = default_fused_frontend(config)
+            cur = getattr(model, "fused_frontend", 0)
+            forced = "SER_TPU_FRONTEND" in os.environ
+            if (forced or cur == 0) and ff_depth != cur:
+                model = model.clone(fused_frontend=ff_depth)
         self.model = model
         # bf16 mode: pre-cast the frozen params once (saves the per-step
         # f32→bf16 weight casts; norms still compute in f32 on bf16 inputs)

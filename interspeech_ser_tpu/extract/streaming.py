@@ -190,6 +190,13 @@ class BatchStream:
             self._put(self._SENTINEL)
 
     def __iter__(self) -> Iterator[ReadyBatch]:
+        # single-use: the finally below sets the shared _stop event, so a
+        # second pass would see a dead producer and block forever on the
+        # queue — fail loudly instead (callers re-plan a fresh stream).
+        if self._stop.is_set() or getattr(self, "_thread", None) is not None:
+            raise RuntimeError(
+                "BatchStream is single-use; build a new one to re-stream"
+            )
         t = threading.Thread(target=self._produce, daemon=True)
         self._thread = t  # exposed for the abort-regression test
         t.start()

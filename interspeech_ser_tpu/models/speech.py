@@ -228,9 +228,10 @@ def default_fused_frontend(cfg: "SpeechConfig") -> int:
 
     The fused conv-prefix Pallas kernel (ops/pallas/conv_frontend.py) has
     no vjp and doesn't partition under GSPMD, so it only auto-enables for
-    single-device TPU bf16 'layer'-norm runs — extraction pipelines and
-    benches pass this helper's result; training engines leave the default
-    0. ``SER_TPU_FRONTEND=xla|<n_layers>`` overrides.
+    single-device TPU bf16 'layer'-norm runs — SpeechExtractionPipeline
+    applies this helper on its dp-only leg when the model was built with
+    the default depth 0, and benches pass it explicitly; training engines
+    leave the default 0. ``SER_TPU_FRONTEND=xla|<n_layers>`` overrides.
     """
     env = os.environ.get("SER_TPU_FRONTEND")
     if env is not None:

@@ -294,3 +294,42 @@ class TestFusedQKVExtraction:
             a = torch.load(os.path.join(save_a, f), weights_only=True).numpy()
             b = torch.load(os.path.join(save_b, f), weights_only=True).numpy()
             np.testing.assert_allclose(b, a, atol=2e-4)
+
+
+class TestFrontendEnvOptIn:
+    def test_env_sets_fused_depth_and_matches(
+        self, wav_dir, hf_wavlm_dir, tmp_path, monkeypatch
+    ):
+        """SER_TPU_FRONTEND=2 flips the pipeline's model to the fused
+        conv-prefix kernel (dp-only); .pt outputs must equal the XLA
+        frontend path."""
+        from transformers import AutoConfig
+
+        from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+        from interspeech_ser_tpu.models.convert_hf import speech_hf_to_flax
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        model_dir, hf_model = hf_wavlm_dir
+        cfg = SpeechConfig.from_hf(AutoConfig.from_pretrained(model_dir))
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        save_a, save_b = str(tmp_path / "xla"), str(tmp_path / "fusedfe")
+        SpeechExtractionPipeline(model, params, cfg, n_devices=1).run(wav_dir, save_a)
+        monkeypatch.setenv("SER_TPU_FRONTEND", "2")
+        pipe = SpeechExtractionPipeline(model, params, cfg, n_devices=1)
+        assert pipe.model.fused_frontend == 2
+        pipe.run(wav_dir, save_b)
+        # 'xla' must force the kernel OFF even on a model built fused
+        monkeypatch.setenv("SER_TPU_FRONTEND", "xla")
+        fused_built = SpeechEncoderModel(cfg, fused_frontend=2)
+        assert (
+            SpeechExtractionPipeline(fused_built, params, cfg, n_devices=1)
+            .model.fused_frontend
+            == 0
+        )
+        for f in sorted(os.listdir(save_a)):
+            a = torch.load(os.path.join(save_a, f), weights_only=True).numpy()
+            b = torch.load(os.path.join(save_b, f), weights_only=True).numpy()
+            np.testing.assert_allclose(b, a, atol=2e-4)

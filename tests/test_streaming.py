@@ -78,6 +78,14 @@ class TestBatchStream:
         np.testing.assert_array_equal(rb.mask.sum(axis=1), [300, 500, 0, 0])
         assert rb.lengths == [300, 500]
 
+    def test_second_iteration_raises_not_hangs(self):
+        plan = [streaming.PlannedBatch(["a_300"], [300])]
+        stream = streaming.BatchStream(self._loader(), plan, bucket_quantum=256,
+                                       num_workers=1)
+        assert len(list(stream)) == 1
+        with pytest.raises(RuntimeError, match="single-use"):
+            next(iter(stream))
+
     def test_late_decode_failure_drops_row(self):
         plan = [streaming.PlannedBatch(["a_300", "bad_400", "c_200"], [300, 400, 200])]
         stream = streaming.BatchStream(self._loader(fail={"bad_400"}), plan,
