@@ -25,6 +25,7 @@ Reference model usage: bin/train_cat_bimodal_lazy_1head.py:255-266.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -103,6 +104,76 @@ def gru_scan(
     return jnp.swapaxes(ys, 0, 1).astype(compute_dtype)  # [B, T, H]
 
 
+def gru_scan_bidir_stacked(
+    x: jnp.ndarray,
+    h0: jnp.ndarray,
+    params_fwd,
+    params_bwd,
+    mask: Optional[jnp.ndarray] = None,
+    unroll: int = 8,
+) -> jnp.ndarray:
+    """Both GRU directions in ONE ``lax.scan``.
+
+    The two directions are independent, but two separate scans execute
+    *serially* on TPU (XLA schedules one op at a time per core), so the
+    latency-bound recurrence pays 2T sequential steps. Stacking the
+    directions on a leading [2] batch dim (the backward direction's
+    inputs/mask pre-reversed along T) runs T steps that each do both
+    directions' small matmuls — same math, up to ~2x less serial
+    latency. Pure XLA: differentiable and GSPMD-partitionable, unlike
+    the Pallas kernel path. Returns [B, T, 2H] = concat(fwd, bwd),
+    bit-identical to two ``gru_scan`` calls (shared-f32 gate math).
+    """
+    B, T, _ = x.shape
+    H = h0.shape[-1]
+    compute_dtype = x.dtype
+    w_ih_f, w_hh_f, b_ih_f, b_hh_f = params_fwd
+    w_ih_b, w_hh_b, b_ih_b, b_hh_b = params_bwd
+
+    def proj(w_ih, b_ih):
+        return (
+            jax.lax.dot_general(
+                x, w_ih.astype(compute_dtype), (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_ih.astype(jnp.float32)
+        )  # [B, T, 3H] f32
+
+    xp = jnp.stack([proj(w_ih_f, b_ih_f), proj(w_ih_b, b_ih_b)[:, ::-1]])
+    if mask is None:
+        m2 = jnp.ones((2, B, T, 1), jnp.float32)
+    else:
+        m = mask.astype(jnp.float32)[:, :, None]
+        m2 = jnp.stack([m, m[:, ::-1]])
+    xs = jnp.moveaxis(xp, 2, 0)  # [T, 2, B, 3H]
+    ms = jnp.moveaxis(m2, 2, 0)  # [T, 2, B, 1]
+
+    w_hh2 = jnp.stack([w_hh_f, w_hh_b]).astype(jnp.float32)  # [2, H, 3H]
+    b_hh2 = jnp.stack([b_hh_f, b_hh_b]).astype(jnp.float32)[:, None]  # [2,1,3H]
+
+    def step(h, inputs):
+        xp_t, m_t = inputs  # [2, B, 3H], [2, B, 1]
+        hp = (
+            jax.lax.dot_general(
+                h, w_hh2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            + b_hh2
+        )  # [2, B, 3H]
+        r = jax.nn.sigmoid(xp_t[..., :H] + hp[..., :H])
+        z = jax.nn.sigmoid(xp_t[..., H : 2 * H] + hp[..., H : 2 * H])
+        n = jnp.tanh(xp_t[..., 2 * H :] + r * hp[..., 2 * H :])
+        h_new = (1.0 - z) * n + z * h
+        h_next = m_t * h_new + (1.0 - m_t) * h
+        return h_next, h_next * m_t
+
+    h0_2 = jnp.broadcast_to(h0.astype(jnp.float32), (2, B, H))
+    _, ys = jax.lax.scan(step, h0_2, (xs, ms), unroll=unroll)
+    ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
+    out = jnp.concatenate([ys[0], ys[1, :, ::-1]], axis=-1)
+    return out.astype(compute_dtype)
+
+
 class BiGRU(nn.Module):
     """torch-layout bidirectional single-layer GRU.
 
@@ -173,6 +244,13 @@ class BiGRU(nn.Module):
             fwd_o, bwd_o = out[:B], out[B:, ::-1]
             return jnp.concatenate([fwd_o, bwd_o], axis=-1)
 
+        # direction-stacked single scan: numerically identical, halves the
+        # sequential step count. Opt-in until the hardware A/B
+        # (scripts/exp_gru_stack.py) decides the production default.
+        if os.environ.get("SER_TPU_GRU_STACK") == "1":
+            return gru_scan_bidir_stacked(
+                x, h0, params["fwd"], params["bwd"], mask
+            )
         fwd = gru_scan(x, h0, *params["fwd"], mask=mask, reverse=False)
         bwd = gru_scan(x, h0, *params["bwd"], mask=mask, reverse=True)
         return jnp.concatenate([fwd, bwd], axis=-1)

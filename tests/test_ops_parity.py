@@ -91,6 +91,67 @@ class TestGRUParity:
             np.testing.assert_allclose(batched[i, L:], 0.0, atol=0)
 
 
+class TestGRUDirectionStack:
+    """gru_scan_bidir_stacked (one scan, both directions) must equal the
+    two-scan path exactly — outputs AND gradients — incl. ragged masks."""
+
+    def _params(self, I, H):
+        g = torch.nn.GRU(I, H, batch_first=True, bidirectional=True)
+        torch.manual_seed(5)
+        return {
+            "w_ih_fwd": _np(g.weight_ih_l0).T,
+            "w_hh_fwd": _np(g.weight_hh_l0).T,
+            "b_ih_fwd": _np(g.bias_ih_l0),
+            "b_hh_fwd": _np(g.bias_hh_l0),
+            "w_ih_bwd": _np(g.weight_ih_l0_reverse).T,
+            "w_hh_bwd": _np(g.weight_hh_l0_reverse).T,
+            "b_ih_bwd": _np(g.bias_ih_l0_reverse),
+            "b_hh_bwd": _np(g.bias_hh_l0_reverse),
+        }
+
+    def test_output_equality_env_optin(self, monkeypatch):
+        import jax
+
+        B, T, I, H = 3, 19, 10, 6
+        params = self._params(I, H)
+        x = RNG.normal(size=(B, T, I)).astype(np.float32)
+        mask = np.zeros((B, T), np.float32)
+        for i, L in enumerate([7, 19, 12]):
+            mask[i, :L] = 1.0
+        model = BiGRU(hidden_dim=H)
+        base = np.asarray(
+            model.apply({"params": params}, jnp.asarray(x), jnp.asarray(mask))
+        )
+        monkeypatch.setenv("SER_TPU_GRU_STACK", "1")
+        stacked = jax.jit(
+            lambda p, x_, m_: model.apply({"params": p}, x_, m_)
+        )(params, jnp.asarray(x), jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(stacked), base, atol=2e-6)
+
+    def test_gradient_equality(self, monkeypatch):
+        import jax
+
+        B, T, I, H = 2, 13, 8, 5
+        params = jax.tree.map(
+            jnp.asarray, self._params(I, H)
+        )
+        x = jnp.asarray(RNG.normal(size=(B, T, I)).astype(np.float32))
+        mask = jnp.asarray(
+            (np.arange(T)[None, :] < np.array([9, 13])[:, None]).astype(np.float32)
+        )
+        model = BiGRU(hidden_dim=H)
+
+        def loss(p, x_):
+            out = model.apply({"params": p}, x_, mask)
+            return jnp.sum(jnp.square(out) * jnp.cos(out))
+
+        g_base = jax.grad(loss, argnums=(0, 1))(params, x)
+        monkeypatch.setenv("SER_TPU_GRU_STACK", "1")
+        g_stack = jax.grad(loss, argnums=(0, 1))(params, x)
+        for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_stack)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
+
+
 class TestMHAParity:
     def _convert(self, mha):
         return {
