@@ -38,6 +38,23 @@ import numpy as np
 
 from . import streaming
 from ..utils import ptio
+
+
+def _skip_existing(names: Sequence[str], save_path: str, stats) -> Sequence[str]:
+    """SER_TPU_SKIP_EXISTING=1 → resume an interrupted extraction by
+    skipping utterances whose ``.pt`` already exists (safe: the writer is
+    atomic, utils/ptio.save_tensor). Off by default — the reference
+    recomputes everything (preprocess_speech.py has no resume), and the
+    ``replicate_dir_count_bug`` layer-select quirk depends on the save
+    dir's file count, so resuming changes that mode's semantics."""
+    if os.environ.get("SER_TPU_SKIP_EXISTING") != "1":
+        return names
+    def done(n):
+        stem = os.path.splitext(os.path.basename(n))[0]
+        return os.path.exists(os.path.join(save_path, f"{stem}.pt"))
+    kept = [n for n in names if not done(n)]
+    stats.n_skipped = len(names) - len(kept)
+    return kept
 from ..utils.audio import load_wav, normalize_waveform
 
 
@@ -64,6 +81,7 @@ def _shard_encoder_params(mesh, params):
 class ExtractionStats:
     n_utts: int = 0
     n_failed: int = 0
+    n_skipped: int = 0  # SER_TPU_SKIP_EXISTING resume (see _skip_existing)
     audio_seconds: float = 0.0
     wall_seconds: float = 0.0
 
@@ -263,6 +281,7 @@ class SpeechExtractionPipeline:
         stats = ExtractionStats()
         t0 = time.perf_counter()
 
+        wav_names = _skip_existing(wav_names, save_path, stats)
         plan = self._plan(wav_dir, wav_names, stats)
         stream = streaming.BatchStream(
             partial(self._load_one, wav_dir), plan, self.bucket_quantum,
@@ -398,6 +417,7 @@ class WhisperExtractionPipeline:
             wav_names = sorted(os.listdir(wav_dir))
         stats = ExtractionStats()
         t0 = time.perf_counter()
+        wav_names = _skip_existing(wav_names, save_path, stats)
 
         def load(name):
             try:
@@ -522,8 +542,15 @@ class TextExtractionPipeline:
         os.makedirs(save_path, exist_ok=True)
         stats = ExtractionStats()
         t0 = time.perf_counter()
-        writer = cf.ThreadPoolExecutor(max_workers=self.num_workers)
-        pending = []
+        keep = _skip_existing(names, save_path, stats)
+        if len(keep) < len(names):
+            kept_set = set(keep)
+            names, texts = zip(*[
+                (n, t) for n, t in zip(names, texts) if n in kept_set
+            ]) if keep else ((), ())
+        # BoundedWriter backpressure: without it the fetched feature rows
+        # (~0.5 MB each at deberta dims) pile up behind slow disks
+        writer = streaming.BoundedWriter(num_workers=self.num_workers)
         fwd = self._forward()
         bs = self.batch_size
         for start in range(0, len(names), bs):
@@ -542,9 +569,8 @@ class TextExtractionPipeline:
             for i, name in enumerate(chunk_names):
                 stem = os.path.splitext(os.path.basename(name))[0]
                 out = os.path.join(save_path, f"{stem}.pt")
-                pending.append(writer.submit(ptio.save_tensor, feats[i].copy(), out))
+                writer.submit(ptio.save_tensor, feats[i].copy(), out)
                 stats.n_utts += 1
-        for f in pending:
-            f.result()
+        writer.drain()
         stats.wall_seconds = time.perf_counter() - t0
         return stats

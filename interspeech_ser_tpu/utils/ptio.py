@@ -29,10 +29,16 @@ except Exception:  # pragma: no cover - torch is present in this image
 
 
 def save_tensor(array, path: str) -> None:
-    """Save a single array as a torch-loadable ``.pt`` file (float32 etc.)."""
+    """Save a single array as a torch-loadable ``.pt`` file (float32 etc.).
+
+    Atomic (tmp + rename): a crash mid-write never leaves a truncated
+    ``.pt`` behind, so SER_TPU_SKIP_EXISTING resumes can trust any file
+    that exists."""
     arr = np.asarray(array)
     if _HAS_TORCH:
-        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), tmp)
+        os.replace(tmp, path)
     else:  # pragma: no cover
         raise NotImplementedError("pure-python .pt writer requires torch")
 

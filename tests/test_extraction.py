@@ -296,6 +296,46 @@ class TestFusedQKVExtraction:
             np.testing.assert_allclose(b, a, atol=2e-4)
 
 
+class TestSkipExistingResume:
+    def test_resume_skips_done_files_and_matches(
+        self, wav_dir, hf_wavlm_dir, tmp_path, monkeypatch
+    ):
+        """SER_TPU_SKIP_EXISTING=1: a second run only recomputes missing
+        outputs; surviving files are untouched and byte-stable."""
+        from transformers import AutoConfig
+
+        from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+        from interspeech_ser_tpu.models.convert_hf import speech_hf_to_flax
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        model_dir, hf_model = hf_wavlm_dir
+        cfg = SpeechConfig.from_hf(AutoConfig.from_pretrained(model_dir))
+        model = SpeechEncoderModel(cfg)
+        params = speech_hf_to_flax(
+            {k: v.numpy() for k, v in hf_model.state_dict().items()}, cfg
+        )
+        save = str(tmp_path / "resume")
+        pipe = SpeechExtractionPipeline(model, params, cfg, n_devices=1)
+        s1 = pipe.run(wav_dir, save)
+        outs = sorted(os.listdir(save))
+        assert s1.n_skipped == 0 and len(outs) == s1.n_utts
+        ref = {
+            f: torch.load(os.path.join(save, f), weights_only=True).numpy()
+            for f in outs
+        }
+        os.remove(os.path.join(save, outs[0]))
+        monkeypatch.setenv("SER_TPU_SKIP_EXISTING", "1")
+        s2 = pipe.run(wav_dir, save)
+        assert s2.n_skipped == len(outs) - 1 and s2.n_utts == 1
+        for f in outs:
+            got = torch.load(os.path.join(save, f), weights_only=True).numpy()
+            np.testing.assert_allclose(got, ref[f], atol=2e-6)
+        # default (no env): everything recomputes, nothing skipped
+        monkeypatch.delenv("SER_TPU_SKIP_EXISTING")
+        s3 = pipe.run(wav_dir, save)
+        assert s3.n_skipped == 0 and s3.n_utts == len(outs)
+
+
 class TestFrontendEnvOptIn:
     def test_env_sets_fused_depth_and_matches(
         self, wav_dir, hf_wavlm_dir, tmp_path, monkeypatch
