@@ -52,7 +52,11 @@ def _layer_norm_f32(x, scale, bias, eps):
 
 
 def _kernel(
-    wav_ref,  # [1, L_pad] f32 — whole padded waveform row, VMEM-resident
+    wav_ref,  # [1, R, s0] f32 — whole waveform row pre-gridded to conv0's
+    #         stride (XLA-side reshape): row r = samples [r*s0, (r+1)*s0).
+    #         Mosaic rejects the in-kernel (1, N) → (N/s, s) shape cast
+    #         (lane dim s0=5 is not a supported relayout), so the grid is
+    #         built outside and the kernel only row-slices it.
     *refs,  # per fused layer: w, [b,] ln_scale, ln_bias; then out_ref
     layer_spec,  # tuple of (k, s, C, has_bias) per fused layer
     tile_n,  # tuple: conv-output frames computed per layer for one tile
@@ -80,35 +84,45 @@ def _kernel(
         ri += 2
 
         n_out = tile_n[li]
+        # Each conv is a SUM OF PER-TAP MATMULS rather than one patch
+        # matmul: Mosaic rejects lane-concats of sublane-shifted slices
+        # ("offset mismatch on non-concat dimension"), so patches are
+        # never materialized — every tap goes straight to the MXU and
+        # the f32 accumulator carries the sum. Identical math.
+        y = None
         if li == 0:
-            # conv0 on raw samples: phase trick — k % s == 0, so the
-            # [n_out, k] patch matrix is a concat of k//s shifted views
-            # of the [n_out + k//s - 1, s] sample grid.
-            n_ph = k // s
-            n_rows = n_out + n_ph - 1
-            flat = wav_ref[0, pl.ds(tile_c[0] * s * i, n_rows * s)]  # [n_rows*s] f32
-            grid_ = flat.reshape(n_rows, s)
-            patches = jnp.concatenate(
-                [grid_[j : j + n_out] for j in range(n_ph)], axis=-1
-            )  # [n_out, k]
-        else:
-            # x: [tile_n[li-1], C] in dt; taps by static shifted reshapes.
-            # tile_n[li-1] = s*(n_out-1)+k rows hold every USED element,
-            # but the flattening trick slices s*n_out rows from offset j —
-            # pad s-1 dead rows so the highest-j slice stays in bounds.
-            if s > 1:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((s - 1, C), x.dtype)], axis=0
+            # conv0 on raw samples (C_in == 1): k % s == 0, so tap group
+            # j covers sample columns [j*s, (j+1)*s) of grid rows
+            # [j, j+n_out) — w rows are ordered by tap index.
+            for j in range(k // s):
+                g = wav_ref[0, pl.ds(tile_c[0] * i + j, n_out), :]  # [n_out, s]
+                w_j = w[j * s : (j + 1) * s, :]  # [s, C]
+                c = jax.lax.dot_general(
+                    g.astype(dt), w_j.astype(dt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            taps = []
-            for j in range(k):
-                tap = x[j : j + s * n_out].reshape(n_out, s * C)[:, :C]
-                taps.append(tap)
-            patches = jnp.concatenate(taps, axis=-1)  # [n_out, k*C]
-        y = jax.lax.dot_general(
-            patches.astype(dt), w.astype(dt),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # [n_out, C] f32
+                y = c if y is None else y + c
+        else:
+            # x: [tile_n[li-1], C_in] in dt. Phase-split by ONE reshape
+            # (rows r ≡ p mod s land in lane block p), then tap t is a
+            # plain sublane slice of phase t % s.
+            C_in = layer_spec[li - 1][2]
+            half = n_out + (k + s - 1) // s
+            pad = s * half - x.shape[0]
+            if pad > 0:
+                x = jnp.concatenate([x, jnp.zeros((pad, C_in), x.dtype)], axis=0)
+            xr = x[: s * half].reshape(half, s * C_in) if s > 1 else x
+            for t in range(k):
+                p, r = t % s, t // s
+                tap = xr[r : r + n_out, p * C_in : (p + 1) * C_in]
+                w_t = w[t * C_in : (t + 1) * C_in, :]  # [C_in, C]
+                c = jax.lax.dot_general(
+                    tap.astype(dt), w_t.astype(dt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                y = c if y is None else y + c
         if b is not None:
             y = y + b
         y = _layer_norm_f32(y, ln_s, ln_b, eps)
@@ -165,17 +179,24 @@ def fused_conv_frontend(
         tile_n[li - 1] = s * (tile_n[li] - 1) + k
         tile_c[li - 1] = s * tile_c[li]
 
-    # waveform padding: last tile's conv0 phase grid must be in-bounds
+    # waveform padding: last tile's conv0 phase grid must be in-bounds;
+    # row count padded to a sublane multiple (8) for the VMEM block
     k0, s0 = spec[0][0], spec[0][1]
     n_ph = k0 // s0
-    need_L = (tile_c[0] * (n_tiles - 1) + tile_n[0] + n_ph - 1) * s0
+    n_rows_total = tile_c[0] * (n_tiles - 1) + tile_n[0] + n_ph - 1
+    n_rows_total = ((n_rows_total + 7) // 8) * 8
+    need_L = n_rows_total * s0
     wavp = wav.astype(jnp.float32)
     if need_L > L:
         wavp = jnp.pad(wavp, ((0, 0), (0, need_L - L)))
+    elif need_L < L:
+        wavp = wavp[:, :need_L]
+    # pre-grid to conv0's stride (see _kernel docstring)
+    wav_grid = wavp.reshape(B, n_rows_total, s0)
 
-    inputs = [wavp]
+    inputs = [wav_grid]
     in_specs = [
-        pl.BlockSpec((1, wavp.shape[1]), lambda b, i: (b, 0)),
+        pl.BlockSpec((1, n_rows_total, s0), lambda b, i: (b, 0, 0)),
     ]
 
     def _full(arr2d):
