@@ -11,12 +11,13 @@ layer-select, f32 and bf16; reports the best bf16 variant (MXU path;
 parity mode is f32 — see extract/pipeline.py).
 
 The bf16 path is self-tuning over a SMALL curated config set (batch 32/64,
-fused conv-frontend prefix on/off, fused qkv layout on/off): each variant
-is numerically parity-checked against the plain path before it may set the
-headline, and any compile/runtime failure just drops that variant — an
-untested kernel can never regress or corrupt the number. Winners observed
-on hardware: B=32 > B=16 (+4%, r02); oneshot2 attention default (+8-10%,
-r03); fused frontend / fused qkv ride this A/B until hardware confirms.
+fused conv-frontend prefix on/off): each variant is numerically
+parity-checked against the plain path before it may set the headline, and
+any compile/runtime failure just drops that variant — an untested kernel
+can never regress or corrupt the number. Winners observed on hardware:
+B=32 > B=16 (+4%, r02); oneshot2 attention default (+8-10%, r03); fused
+conv0 prefix depth 1 (+1.5%, r03). Fused qkv measured a LOSS on chip
+(−8% at B=32, r03) and left the set.
 
 ``vs_baseline`` divides by 50 utt/s — a *favorable-to-the-reference*
 estimate of its per-utterance batch-1 A100 path (~315 GFLOP / 10-s
@@ -38,7 +39,6 @@ import jax.numpy as jnp
 
 from interspeech_ser_tpu.models.speech import (
     SpeechEncoderModel,
-    fuse_qkv_params,
     wavlm_large,
 )
 
@@ -196,21 +196,17 @@ def main():
 
     variants = {}
     best, best_name = bf16, "bf16_b32"
-    cfg_qkv = dataclasses.replace(cfg_bf16, fused_qkv=True)
-    qkv_params = None  # fused lazily, once
-    for name, (batch, ff, qkv) in {
-        "bf16_b64": (64, 0, False),
-        "bf16_b32_fusedfe": (32, 2, False),
-        "bf16_b32_fusedqkv": (32, 0, True),
-        "bf16_b32_fusedfe_qkv": (32, 2, True),
+    # fused qkv measured a clear LOSS on chip (268.5 vs 291.0 utt/s at
+    # B=32 — scripts/exp_qkv_fused.py / BENCH r03 self-tune) and left the
+    # variant set; the relayout stays available as an opt-in elsewhere.
+    for name, (batch, ff) in {
+        "bf16_b64": (64, 0),
+        "bf16_b32_fusedfe": (32, 1),
+        "bf16_b64_fusedfe": (64, 1),
     }.items():
         try:
-            if qkv and qkv_params is None:
-                qkv_params = fuse_qkv_params(plain_params)
-            params = qkv_params if qkv else plain_params
-            model = SpeechEncoderModel(
-                cfg_qkv if qkv else cfg_bf16, fused_frontend=ff
-            )
+            params = plain_params
+            model = SpeechEncoderModel(cfg_bf16, fused_frontend=ff)
             if not _variant_parity_ok(model, params, ref_out, pwav, pmask):
                 variants[name] = "parity-fail"
                 continue

@@ -83,18 +83,21 @@ for depth in (0, 1, 2, 3, 5, 7):
 cfmod.fused_conv_frontend = _orig
 
 full_params = None
-for depth in (0, 2, 3, 7):
+for depth in (0, 1, 2, 3):
     model = SpeechEncoderModel(cfg, fused_frontend=depth)
     if full_params is None:
         full_params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
         full_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), full_params)
 
-    def fwd(w, m, model=model):
-        return model.apply({"params": full_params}, w, m)["last_hidden_state"]
+    # params must be a jit ARGUMENT: closed-over they inline into the HLO
+    # as ~600 MB of constants and the tunnel's compile endpoint rejects
+    # the request body (HTTP 413)
+    def fwd(w, m, p, model=model):
+        return model.apply({"params": p}, w, m)["last_hidden_state"]
 
     cfmod.fused_conv_frontend = _with_block(depth) if depth else _orig
     try:
-        t = timed(fwd, wav, mask)
+        t = timed(fwd, wav, mask, full_params)
         print(
             f"e2e depth={depth}: {t*1e3:7.2f} ms  {B/t:7.1f} utt/s", flush=True
         )
