@@ -16,18 +16,28 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from interspeech_ser_tpu.models.speech import SpeechEncoderModel, wavlm_large
+from interspeech_ser_tpu.models.speech import (
+    SpeechEncoderModel,
+    default_fused_frontend,
+    wavlm_large,
+)
 
 T = 160000  # 10-s utterances
 
 
 def measure(batch: int, n_chain: int = 8) -> float:
-    cfg = wavlm_large(dtype="bfloat16")
-    model = SpeechEncoderModel(cfg)
+    # sweep the PRODUCTION-winning path: oneshot2 attention kernel +
+    # measured fused-frontend depth (bench.py best variant), not plain XLA
+    cfg = dataclasses.replace(
+        wavlm_large(dtype="bfloat16"), inference_kernels=True
+    )
+    model = SpeechEncoderModel(cfg, fused_frontend=default_fused_frontend(cfg))
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(size=(batch, T)).astype(np.float32))
     mask = jnp.ones((batch, T), jnp.float32)
@@ -57,7 +67,7 @@ def measure(batch: int, n_chain: int = 8) -> float:
 
 
 if __name__ == "__main__":
-    for b in (16, 32, 48, 64, 96):
+    for b in (24, 32, 40, 48, 64):
         try:
             r = measure(b)
             print(f"B={b:3d}: {r:7.1f} utt/s", flush=True)
