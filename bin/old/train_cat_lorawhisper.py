@@ -9,5 +9,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from lora_wavlm.ft_lora import main
 
 if __name__ == "__main__":
-    # pass --ssl_type <whisper dir>; the LoRA transform targets q/v\n    # projections in either encoder family
+    # pass --ssl_type <whisper dir>; the LoRA transform targets q/v
+    # projections in either encoder family (whisper dirs dispatch to the
+    # encoder-only whisper stack inside LoRAFTEngine)
     main()

@@ -33,6 +33,11 @@ class WhisperEncoderConfig:
     dtype: str = "float32"
     # inference-only Pallas attention opt-in (no vjp) — see SpeechConfig
     inference_kernels: bool = False
+    # TRAINING Pallas attention opt-in: the differentiable custom_vjp
+    # pair (ops/pallas/attention_bwd.py). Measured 1.279x vs XLA autodiff
+    # on a whisper-encoder fine-tune step (scripts/exp_attn_bwd.py, v5e
+    # bf16, B4/T1500); training engines (LoRAFTEngine) flip it on.
+    train_kernels: bool = False
     # inference-only fused [D,3D] qkv layout; requires params rewritten by
     # ``fuse_qkv_params_whisper`` (k_proj is bias-less in whisper — the
     # fused bias carries zeros in the k slice, which is exact)
@@ -89,7 +94,8 @@ class _WhisperAttention(nn.Module):
         # head split happens inside the attention core ([B,T,D] entry —
         # the oneshot2 kernel consumes projection layout directly)
         out = dot_product_attention_btd(
-            q, k, v, H, allow_kernel=cfg.inference_kernels
+            q, k, v, H, allow_kernel=cfg.inference_kernels,
+            allow_train_kernel=cfg.train_kernels,
         )
         return nn.Dense(D, dtype=dt, param_dtype=jnp.float32, name="out_proj")(out)
 

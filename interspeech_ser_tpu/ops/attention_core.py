@@ -28,6 +28,10 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# Minimum key length for the differentiable one-shot pair to engage as a
+# training default (scripts/exp_attn_bwd.py: win at 1500, loss at 599).
+TRAIN_KERNEL_MIN_TK = 1024
+
 # Measured on v5e (B16 H16 T512 D64, gated bias): XLA 0.82 ms vs the
 # recurrent Pallas flash kernel 1.82 ms — XLA's native attention fusion
 # wins at encoder-zoo shapes (D=64 half-fills the MXU and the score tile
@@ -76,6 +80,7 @@ def dot_product_attention_btd(
     shared_bias: Optional[jnp.ndarray] = None,  # [H, Tq, Tk]
     force_impl: Optional[str] = None,
     allow_kernel: bool = False,
+    allow_train_kernel: bool = False,
 ) -> jnp.ndarray:  # [B, Tq, D]
     """SDPA on [B, T, D] projection outputs (heads never materialized).
 
@@ -91,6 +96,15 @@ def dot_product_attention_btd(
     auto-select on a path an engine may differentiate — training engines
     leave it False and always get XLA. ``SER_TPU_ATTN_IMPL``/
     ``force_impl`` still force any impl for experiments.
+
+    ``allow_train_kernel`` is the TRAINING opt-in (set from
+    ``WhisperEncoderConfig.train_kernels``): it selects the
+    DIFFERENTIABLE custom_vjp pair (ops/pallas/attention_bwd.py), so it
+    is safe on paths an engine differentiates. Measured default
+    (scripts/exp_attn_bwd.py, real v5e, bf16): Whisper-encoder fine-tune
+    step 1.279x vs XLA autodiff (364.8 -> 285.2 ms at B4/T1500); WavLM
+    fine-tune 0.962x (B8/Tk=599, gated bias) — so the pair engages only
+    at long key lengths (Tk >= TRAIN_KERNEL_MIN_TK).
     """
     B, Tq, D = q.shape
     H = num_heads
@@ -111,6 +125,19 @@ def dot_product_attention_btd(
         # call is local compute) — plain GSPMD-sharded meshes keep XLA
         # because a Pallas call does not auto-partition there.
         impl = "oneshot2"
+    if (
+        impl == "xla"
+        and allow_train_kernel
+        and force_impl is None
+        and os.environ.get("SER_TPU_ATTN_IMPL") is None
+        and q.dtype == jnp.bfloat16
+        and k.shape[1] >= TRAIN_KERNEL_MIN_TK
+        and jax.default_backend() not in ("cpu",)
+        and (len(jax.devices()) == 1 or under_manual_axis())
+    ):
+        # measured default: differentiable pair wins whisper fine-tune
+        # 1.279x at Tk=1500 but loses wavlm 0.962x at Tk=599 — Tk-gated.
+        impl = "oneshot2_train"
     if impl == "oneshot2":
         from .pallas.flash_attention_short import (
             MAX_ONESHOT_TK,

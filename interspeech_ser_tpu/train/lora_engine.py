@@ -140,26 +140,72 @@ class LoRAFTEngine:
         seed: int = 7,
         dtype: str = "float32",
     ):
-        from ..models.loader import build_speech_encoder
+        import dataclasses as _dc
 
-        self.model, self.base_params, self.cfg, self.do_normalize = build_speech_encoder(
-            ssl_type, dtype=dtype
-        )
+        from transformers import AutoConfig
+
+        from ..models.loader import _resolve_dir, build_speech_encoder, build_whisper_encoder
+
+        # Whisper dirs dispatch to the encoder-only whisper stack (the
+        # reference fine-tunes it with the same peft q/v LoRA —
+        # preprocessing/preprocess_whisper_pretrained.py:117-169); the
+        # mel frontend runs on-device inside the same jit.
+        self.is_whisper = AutoConfig.from_pretrained(_resolve_dir(ssl_type)).model_type == "whisper"
+        if self.is_whisper:
+            if target != "qv":
+                raise ValueError(
+                    "whisper LoRA targets q/v projections (peft variant); "
+                    "'ffn' matches no whisper parameter names"
+                )
+            self.model, self.base_params, self.cfg = build_whisper_encoder(
+                ssl_type, dtype=dtype
+            )
+            # measured training default: differentiable one-shot attention
+            # pair, 1.279x vs XLA autodiff at whisper fine-tune shapes
+            # (scripts/exp_attn_bwd.py) — engages only on bf16 + TPU.
+            self.cfg = _dc.replace(self.cfg, train_kernels=True)
+            self.model = self.model.clone(config=self.cfg)
+            self.do_normalize = False  # whisper frontend is log-mel, not z-norm
+            hidden = self.cfg.d_model
+        else:
+            self.model, self.base_params, self.cfg, self.do_normalize = build_speech_encoder(
+                ssl_type, dtype=dtype
+            )
+            hidden = self.cfg.hidden_size
         self.rank, self.alpha = rank, alpha
         match = lora_lib.match_attention_qv if target == "qv" else lora_lib.match_ffn_dense
         key = jax.random.PRNGKey(seed)
         k_lora, k_head, self.key = jax.random.split(key, 3)
         self.lora = lora_lib.init_lora(k_lora, self.base_params, match, rank)
-        self.head = MeanPoolClassifier(self.cfg.hidden_size, num_emotions)
+        self.head = MeanPoolClassifier(hidden, num_emotions)
         self.head_params = self.head.init(
-            k_head, jnp.zeros((1, 4, self.cfg.hidden_size))
+            k_head, jnp.zeros((1, 4, hidden))
         )["params"]
         self.num_emotions = num_emotions
         self._steps: Dict = {}
 
     def _forward(self, base, lora, head, wav, mask, deterministic, dkey=None):
         merged = lora_lib.merge_lora(base, lora, self.alpha, self.rank)
-        out = self.model.apply({"params": merged}, wav, mask)
+        if self.is_whisper:
+            from ..extract.pipeline import WhisperExtractionPipeline
+            from ..ops.mel import whisper_log_mel
+
+            N = WhisperExtractionPipeline.N_SAMPLES  # 480000 = 30 s
+            B, L = wav.shape
+            w30 = wav[:, :N] if L >= N else jnp.pad(wav, ((0, 0), (0, N - L)))
+            mel = whisper_log_mel(w30, self.cfg.num_mel_bins)
+            out = self.model.apply({"params": merged}, mel)
+            # true frame count = ceil(samples/320) (preprocess_whisper.py:50)
+            n_samp = jnp.minimum(jnp.sum(mask, axis=1), N)
+            T = out["last_hidden_state"].shape[1]
+            out = dict(
+                out,
+                frame_mask=(
+                    jnp.arange(T)[None, :] * 320 < n_samp[:, None]
+                ).astype(jnp.float32),
+            )
+        else:
+            out = self.model.apply({"params": merged}, wav, mask)
         rngs = None if deterministic else {"dropout": dkey}
         return self.head.apply(
             {"params": head},

@@ -147,20 +147,27 @@ def main():
         wavlm_large,
     )
 
+    # each arg is "family" or "family:batch" (batch override for sweeps)
     fams = sys.argv[1:] or ["wavlm", "hubert", "w2v2", "whisper", "roberta", "deberta"]
-    for f in fams:
+    defaults = {
+        "wavlm": 32, "hubert": 16, "w2v2": 8, "whisper": 8,
+        "roberta": 64, "deberta": 32,
+    }
+    for spec in fams:
+        f, _, b = spec.partition(":")
+        batch = int(b) if b else defaults[f]
         if f == "wavlm":
-            bench_speech("wavlm-large", wavlm_large, 32)
+            bench_speech("wavlm-large", wavlm_large, batch)
         elif f == "hubert":
-            bench_speech("hubert-xlarge", hubert_xlarge, 16)
+            bench_speech("hubert-xlarge", hubert_xlarge, batch)
         elif f == "w2v2":
-            bench_speech("w2v2-xls-r-2b", wav2vec2_xlsr_2b, 8)
+            bench_speech("w2v2-xls-r-2b", wav2vec2_xlsr_2b, batch)
         elif f == "whisper":
-            bench_whisper(8)
+            bench_whisper(batch)
         elif f == "roberta":
-            bench_text("roberta-large", _roberta, 64, 80)
+            bench_text("roberta-large", _roberta, batch, 80)
         elif f == "deberta":
-            bench_text("deberta-v2-xxl", _deberta, 32, 80)
+            bench_text("deberta-v2-xxl", _deberta, batch, 80)
 
 
 if __name__ == "__main__":

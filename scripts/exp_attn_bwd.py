@@ -51,23 +51,30 @@ def timed_vg(loss_fn, params, *args):
 
 
 def check_pair(loss_fn, params, *args):
-    """loss + grad-norm under both impls; returns (ok, rel_diffs)."""
-    os.environ.pop("SER_TPU_ATTN_IMPL", None)
-    v0, g0 = jax.value_and_grad(loss_fn)(params, *args)
-    n0 = float(
-        jnp.sqrt(
-            sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(g0))
+    """loss + grad-norm under both impls; returns (ok, rel_diffs).
+
+    MUST run jitted: an eager value_and_grad of a 24-layer stack
+    materializes every intermediate with no memory planning and
+    RESOURCE_EXHAUSTs the 16-GB chip at the production shapes. The jit
+    returns only (loss, grad_norm) scalars so no grad tree is held
+    across the two impls.
+    """
+
+    def vg_norm(params, *a):
+        v, g = jax.value_and_grad(loss_fn)(params, *a)
+        n = jnp.sqrt(
+            sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(g))
         )
-    )
+        return v, n
+
+    os.environ.pop("SER_TPU_ATTN_IMPL", None)
+    v0, n0 = map(float, jax.jit(vg_norm)(params, *args))
     os.environ["SER_TPU_ATTN_IMPL"] = "oneshot2_train"
-    v1, g1 = jax.value_and_grad(loss_fn)(params, *args)
-    n1 = float(
-        jnp.sqrt(
-            sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(g1))
-        )
-    )
+    # env is read at TRACE time -> a fresh jit wrapper re-traces with the
+    # kernel impl (a cached jit of the same fn object would not)
+    v1, n1 = map(float, jax.jit(vg_norm)(params, *args))
     os.environ.pop("SER_TPU_ATTN_IMPL", None)
-    dv = abs(float(v1) - float(v0)) / (abs(float(v0)) + 1e-9)
+    dv = abs(v1 - v0) / (abs(v0) + 1e-9)
     dn = abs(n1 - n0) / (n0 + 1e-9)
     return (dv < 5e-2 and dn < 5e-2), (dv, dn)
 

@@ -168,6 +168,85 @@ class TestLoRAFineTune:
         assert arr.shape[-1] == 32
 
 
+class TestWhisperLoRAFineTune:
+    """Whisper dirs dispatch to the encoder-only whisper stack (reference
+    fine-tunes whisper with the same peft q/v LoRA —
+    preprocessing/preprocess_whisper_pretrained.py:117-169)."""
+
+    @pytest.fixture(scope="class")
+    def whisper_setup(self, tmp_path_factory):
+        from transformers import WhisperConfig, WhisperModel
+
+        root = tmp_path_factory.mktemp("lorawhisper")
+        torch.manual_seed(9)
+        hf_cfg = WhisperConfig(
+            num_mel_bins=16, d_model=32, encoder_layers=2,
+            encoder_attention_heads=4, encoder_ffn_dim=64, decoder_layers=1,
+            decoder_attention_heads=4, decoder_ffn_dim=64,
+            max_source_positions=1500,
+        )
+        WhisperModel(hf_cfg).encoder.save_pretrained(str(root / "hf"))
+        wav_dir = root / "wavs"
+        wav_dir.mkdir()
+        wavs, labels = [], []
+        for i in range(8):
+            cls = i % 2
+            w = 0.3 * np.sin(np.arange(3200 + 320 * i) * (0.05 + 0.1 * cls))
+            wavs.append(w.astype(np.float32))
+            labels.append(cls)
+            _write_wav(str(wav_dir / f"u{i:02d}.wav"), w)
+        return root, wavs, np.asarray(labels)
+
+    def test_train_and_ckpt_feeds_pretrained_extraction(self, whisper_setup, tmp_path):
+        from interspeech_ser_tpu.preprocess_cli import whisper_pretrained_main
+        from interspeech_ser_tpu.train.lora_engine import LoRAFTEngine
+
+        root, wavs, labels = whisper_setup
+        engine = LoRAFTEngine(str(root / "hf"), rank=2, num_emotions=2)
+        assert engine.is_whisper and engine.cfg.train_kernels
+        base_before = jax.tree.map(np.asarray, engine.base_params)
+        res = engine.train_epochs(
+            wavs[:6], labels[:6], wavs[6:], labels[6:],
+            epochs=1, batch_size=3, lr=5e-3,
+        )
+        assert len(res["history"]) == 1
+        for a, b in zip(
+            jax.tree.leaves(base_before),
+            jax.tree.leaves(jax.tree.map(np.asarray, engine.base_params)),
+        ):
+            np.testing.assert_array_equal(a, b)
+        b_leaf = jax.tree.leaves(
+            engine.lora["layer0"]["self_attn"]["q_proj"]["kernel"]["lora_B"]
+        )[0]
+        assert float(np.abs(np.asarray(b_leaf)).max()) > 0
+
+        # checkpoint roundtrip + the *_pretrained extraction CLI chain
+        ckpt = str(tmp_path / "whisper_lora_ser.pt")
+        engine.save(ckpt)
+        engine2 = LoRAFTEngine(str(root / "hf"), rank=2, num_emotions=2)
+        engine2.load(ckpt)
+        np.testing.assert_array_equal(
+            engine.predict(wavs[:3], batch_size=3),
+            engine2.predict(wavs[:3], batch_size=3),
+        )
+        save = str(tmp_path / "feats")
+        stats = whisper_pretrained_main(
+            ["--ssl_type", str(root / "hf"), "--wav_dir", str(root / "wavs"),
+             "--save_path", save, "--lora_ckpt", ckpt, "--lora_rank", "2",
+             "--lora_alpha", "16"]
+        )
+        assert stats.n_utts == 8
+        arr = torch.load(os.path.join(save, "u00.pt"), weights_only=True)
+        assert arr.shape[-1] == 32
+
+    def test_ffn_target_rejected_for_whisper(self, whisper_setup):
+        from interspeech_ser_tpu.train.lora_engine import LoRAFTEngine
+
+        root, _, _ = whisper_setup
+        with pytest.raises(ValueError, match="ffn"):
+            LoRAFTEngine(str(root / "hf"), rank=2, target="ffn", num_emotions=2)
+
+
 class TestNonLoraFinetuneMethods:
     """adapter / adapter_l / embedding_prompt / combined
     (reference lora_wavlm/model.py:37-50; Adapter spec in models/speech.py —
