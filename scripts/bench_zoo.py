@@ -22,6 +22,31 @@ import jax.numpy as jnp
 SECONDS = 10.0
 
 
+def host_init_bf16(model, *init_args):
+    """Random bf16 params WITHOUT a device-side init compile.
+
+    ``model.init`` at whisper/hubert card size compiles a full init
+    program — many minutes over this image's remote-compile tunnel (it
+    cost r03 its first zoo-re-bench window). ``jax.eval_shape`` traces
+    the same init without compiling anything; the leaves are then filled
+    host-side with numpy and shipped to the device as plain data. The
+    benchmark only needs *some* finite weights (layernorms keep random
+    stacks numerically tame), so distribution fidelity is irrelevant.
+    """
+    import jax.random as jrandom
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jrandom.PRNGKey(0), *init_args)
+    )["params"]
+    rng = np.random.default_rng(0)
+
+    def fill(s):
+        a = rng.normal(size=s.shape).astype(np.float32) * 0.02
+        return jnp.asarray(a, jnp.bfloat16)
+
+    return jax.tree.map(fill, shapes)
+
+
 def chain_rate(fwd, params, x, extra, batch, n_chain=6):
     @jax.jit
     def chained(params, x, extra):
@@ -57,8 +82,7 @@ def bench_speech(name, cfg_fn, batch):
     T = int(16000 * SECONDS)
     wav = jnp.asarray(rng.normal(size=(batch, T)).astype(np.float32))
     mask = jnp.ones((batch, T), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    params = host_init_bf16(model, wav[:1], mask[:1])
 
     def fwd(p, w, m):
         return model.apply({"params": p}, w, m)["last_hidden_state"]
@@ -74,8 +98,7 @@ def bench_whisper(batch):
     model = WhisperEncoderModel(cfg)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.normal(size=(batch, cfg.num_mel_bins, 3000)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), mel[:1])["params"]
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    params = host_init_bf16(model, mel[:1])
 
     def fwd(p, m, _):
         return model.apply({"params": p}, m)["last_hidden_state"]
