@@ -62,7 +62,13 @@ def lora_case(batch: int):
     smask = jnp.ones((batch,), jnp.float32)
 
     mel0 = whisper_log_mel(wav[:1], cfg.num_mel_bins)
-    base = model.init(jax.random.PRNGKey(0), mel0)["params"]
+    # host-side init (eval_shape + numpy): model.init at whisper-large
+    # size compiles a full init program — minutes over the remote tunnel
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), mel0))["params"]
+    base = jax.tree.map(
+        lambda s: jnp.asarray(rng.normal(size=s.shape).astype(np.float32) * 0.02),
+        shapes,
+    )
     lora = lora_lib.init_lora(
         jax.random.PRNGKey(1), base, lora_lib.match_attention_qv, rank=8
     )
@@ -73,10 +79,13 @@ def lora_case(batch: int):
     head_params = head.init(
         jax.random.PRNGKey(2), jnp.zeros((1, 4, cfg.d_model))
     )["params"]
-    frozen_base = lora_lib.freeze_base(base)
+    base = jax.device_put(base)  # pass as an ARG: a closure would embed
+    # 2.5 GB of weights as lowered constants (fatal over the tunnel)
 
-    def loss_fn(trainable, wav, mask, y, smask):
-        merged = lora_lib.merge_lora(frozen_base, trainable["lora"], 16.0, 8)
+    def loss_fn(trainable, base, wav, mask, y, smask):
+        merged = lora_lib.merge_lora(
+            lora_lib.freeze_base(base), trainable["lora"], 16.0, 8
+        )
         mel = whisper_log_mel(wav, cfg.num_mel_bins)
         out = model.apply({"params": merged}, mel)
         h = out["last_hidden_state"]
@@ -87,7 +96,9 @@ def lora_case(batch: int):
         return losses.weighted_cross_entropy(logits, y, None, smask)
 
     trainable = {"lora": lora, "head": head_params}
-    run_case(f"whisper-lora(B{batch},30s,{dt})", loss_fn, trainable, wav, mask, y, smask)
+    run_case(
+        f"whisper-lora(B{batch},30s,{dt})", loss_fn, trainable, base, wav, mask, y, smask
+    )
 
 
 if __name__ == "__main__":
