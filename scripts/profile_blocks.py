@@ -65,16 +65,30 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--n_chain", type=int, default=10)
+    ap.add_argument(
+        "--variant", default="plain", choices=["plain", "bench"],
+        help="'bench' profiles the shipping extraction variant "
+        "(inference_kernels=True → oneshot2 attention, fused conv0 "
+        "frontend); 'plain' is the XLA-everywhere path",
+    )
     args = ap.parse_args()
 
     cfg = wavlm_large(dtype=args.dtype)
+    fused_fe = 0
+    if args.variant == "bench":
+        import dataclasses
+
+        from interspeech_ser_tpu.models.speech import default_fused_frontend
+
+        cfg = dataclasses.replace(cfg, inference_kernels=True)
+        fused_fe = default_fused_frontend(cfg)
     B = args.batch
     L = int(16000 * SECONDS)
     D, H, F = cfg.hidden_size, cfg.num_heads, cfg.intermediate_size
     rng = np.random.default_rng(0)
     dt = cfg.compute_dtype
 
-    model = SpeechEncoderModel(cfg)
+    model = SpeechEncoderModel(cfg, fused_frontend=fused_fe)
     wav = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
     mask = jnp.ones((B, L), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), wav[:1], mask[:1])["params"]
@@ -115,7 +129,7 @@ def main():
     add("full forward", t_full, full_gf)
 
     # --- conv frontend ----------------------------------------------------
-    conv = ConvFeatureExtractor(cfg, name="feature_extractor")
+    conv = ConvFeatureExtractor(cfg, fused_prefix=fused_fe, name="feature_extractor")
     t_conv = chain_time(
         lambda w, p: conv.apply({"params": p}, w),
         wav, params["feature_extractor"], n_chain=args.n_chain,
