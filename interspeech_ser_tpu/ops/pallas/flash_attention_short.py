@@ -41,6 +41,8 @@ MEASURED RESULTS (v5e, WavLM-large, bf16):
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Optional
 
 import jax
@@ -48,6 +50,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+
+# Softmax-chain micro-optimizations inside the one-shot kernel, decided
+# by the in-stack ablation (scripts/exp_stack_anatomy.py: softmax is
+# ~6 ms of the 40 ms WavLM-24L stack at B16 even WITH the kernel; every
+# removed VPU pass over the [bq, Tk] f32 score tile is visible e2e).
+# Comma set, overridable via SER_TPU_SOFTMAX_OPT:
+#   exp2 — rebase the f32 logit tile by log2(e) (FMA fused into the adds)
+#          and call exp2, the VPU's native transcendental, directly;
+#   psum — round P to the compute dtype BEFORE the row-sum, so exp writes
+#          half-width and the separate f32->bf16 cast pass disappears;
+#          the softmax stays exactly normalized over the ROUNDED weights
+#          actually fed to the PV matmul (identity in f32 mode);
+#   fused — never materialize the shifted score tile: fold gate*bias+mask
+#          into the max reduce and the exp pass as recomputed elementwise
+#          expressions (trades one f32 R/W pass for a second bf16 bias
+#          read).
+# MEASURED DEAD EVEN (v5e, scripts/exp_softmax_opt.py): every combination
+# lands within 0.4% on the in-context WavLM 24-layer stack (39.66-39.82
+# ms, B16 bf16) with bit-identical worst-case error vs f32 truth
+# (1.28e-2, == baseline). Conclusion: Mosaic already fuses the
+# elementwise chains into minimal passes, and the remaining softmax cost
+# is the exp evaluation itself (~0.25 ms/layer — the 5.9 ms kernel-vs-
+# GEMM-skeleton gap exp_stack_anatomy.py measures), which no pass
+# restructuring removes. Kept as a zero-default experiment surface.
+DEFAULT_SOFTMAX_OPT = ""
+
+
+def _softmax_opt_flags() -> frozenset:
+    raw = os.environ.get("SER_TPU_SOFTMAX_OPT")
+    if raw is None:
+        raw = DEFAULT_SOFTMAX_OPT
+    flags = frozenset(f for f in raw.replace(" ", "").split(",") if f)
+    unknown = flags - {"exp2", "psum", "fused"}
+    if unknown:
+        raise ValueError(f"SER_TPU_SOFTMAX_OPT: unknown flags {sorted(unknown)}")
+    return flags
 
 
 class VmemBudgetError(ValueError):
@@ -135,6 +174,7 @@ def _kernel_btd(
     scale: float,
     has_bias: bool,
     num_heads: int,
+    opts: frozenset = frozenset(),
 ):
     """One-shot SDPA on projection-layout panels, minimal VPU passes.
 
@@ -151,8 +191,16 @@ def _kernel_btd(
     """
     D = q_ref.shape[-1]
     hd = D // num_heads
+    exp2 = "exp2" in opts
+    expfn = jnp.exp2 if exp2 else jnp.exp
     madd = madd_ref[0, 0].astype(jnp.float32)  # [Tk]
+    # exp2 mode: the finished f32 logit tile is rebased by log2(e) as one
+    # multiply FUSED into the add/max/exp passes already present — never
+    # folded into the bf16 q scale or the bf16 bias panel, where the
+    # non-power-of-2 factor costs 2^-9 rounding on every logit (measured
+    # 2.4x the baseline kernel's error vs f32 truth).
     sc = jnp.asarray(scale, q_ref.dtype)
+    log2e = jnp.float32(LOG2E if exp2 else 1.0)
     for h in range(num_heads):
         lo, hi = h * hd, (h + 1) * hd
         q = q_ref[0, :, lo:hi] * sc  # [bq, hd]
@@ -163,14 +211,28 @@ def _kernel_btd(
         if has_bias:
             gate = gate_ref[0, h].astype(jnp.float32)  # [bq]
             bias = bias_ref[h].astype(jnp.float32)  # [bq, Tk]
-            s = s + (gate[:, None] * bias + madd[None, :])
+            add = gate[:, None] * bias + madd[None, :]
         else:
-            s = s + madd[None, :]
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+            add = madd[None, :]
+        if "fused" in opts:
+            # shifted tile never hits VMEM: the add recomputes inside the
+            # max reduce and the exp pass (elementwise-into-reduce fusion)
+            m = jnp.max(s + add, axis=1, keepdims=True)
+            p = expfn(((s - m) + add) * log2e)
+        else:
+            s = s + add
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = expfn((s - m) * log2e)
+        if "psum" in opts:
+            # round P first; l then normalizes the exact weights the PV
+            # matmul consumes (f32 accumulation over the rounded P)
+            p = p.astype(v_ref.dtype)
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
+            p = p.astype(v_ref.dtype)
         o = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, :, lo:hi], (((1,), (0,)), ((), ())),
+            p, v_ref[0, :, lo:hi], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, hd] f32
         out_ref[0, :, lo:hi] = (o / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
@@ -210,6 +272,7 @@ def attention_btd(
     has_bias = pos_bias is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    opts = _softmax_opt_flags()
 
     block_q = min(block_q, ((Tq + 127) // 128) * 128)
     # VMEM at bq: q/out panels 2·bq·D + k/v panels 2·Tk·D (dtype bytes,
@@ -232,8 +295,6 @@ def attention_btd(
 
     # lane-blocked fallback (very large D·Tk, no bias): block width =
     # the smallest multiple of 128 covering whole heads
-    import math
-
     lane_w = (hd * 128) // math.gcd(hd, 128)
     if not full_d_fits and (has_bias or D % lane_w != 0):
         raise VmemBudgetError(
@@ -277,7 +338,7 @@ def attention_btd(
             inputs += [gate_p, bias_p]
         kernel = functools.partial(
             _kernel_btd if has_bias else _kernel_btd_nobias,
-            scale=float(scale), has_bias=has_bias, num_heads=H,
+            scale=float(scale), has_bias=has_bias, num_heads=H, opts=opts,
         )
         grid = (B, n_q)
         out_spec = pl.BlockSpec((1, block_q, D), lambda b, iq: (b, iq, 0))
@@ -295,6 +356,7 @@ def attention_btd(
         kernel = functools.partial(
             _kernel_btd_nobias,
             scale=float(scale), has_bias=False, num_heads=lane_w // hd,
+            opts=opts,
         )
         grid = (B, n_hb, n_q)
         out_spec = pl.BlockSpec((1, block_q, lane_w), lambda b, hb, iq: (b, iq, hb))

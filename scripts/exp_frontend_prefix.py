@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,7 +27,13 @@ from interspeech_ser_tpu.models.speech import (
     ConvFeatureExtractor, PatchMatmulConv, wavlm_large,
 )
 
-B, L = 32, 160000
+ap = argparse.ArgumentParser()
+ap.add_argument("--conv0", choices=["patch", "fused"], default="patch",
+                help="'fused' = the shipping Pallas conv0+LN+GELU kernel")
+ap.add_argument("--batch", type=int, default=32)
+cli = ap.parse_args()
+
+B, L = cli.batch, 160000
 N_CHAIN = 6
 rng = np.random.default_rng(0)
 wav = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32) * 0.1)
@@ -74,9 +82,20 @@ def timed(model, params):
     return best / N_CHAIN
 
 
+import dataclasses
+
 prev = 0.0
 for n in range(1, 8):
-    model = PrefixFrontend(n_layers=n)
+    if cli.conv0 == "fused":
+        # the real shipping frontend, truncated to n layers: Pallas
+        # conv0+LN+GELU kernel + XLA convs 1..n-1
+        c = dataclasses.replace(
+            cfg, conv_dim=cfg.conv_dim[:n], conv_kernel=cfg.conv_kernel[:n],
+            conv_stride=cfg.conv_stride[:n],
+        )
+        model = ConvFeatureExtractor(config=c, fused_prefix=1)
+    else:
+        model = PrefixFrontend(n_layers=n)
     params = model.init(jax.random.PRNGKey(0), wav[:1])["params"]
     t = timed(model, params)
     print(f"prefix conv0..conv{n-1}: {t*1e3:7.2f} ms   (+{(t-prev)*1e3:6.2f} ms "

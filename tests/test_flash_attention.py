@@ -167,6 +167,39 @@ class TestOneShotBTDAttention:
         )
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "flags", ["exp2", "psum", "fused", "exp2,psum,fused"]
+    )
+    def test_softmax_opt_flags_exact(self, flags, monkeypatch):
+        """SER_TPU_SOFTMAX_OPT combos (measured dead even on v5e, kept as
+        an experiment surface) must stay exact in f32: exp2 is a base
+        change, psum is an identity cast, fused is reassociation."""
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        B, H, T, hd = 2, 4, 300, 64
+        q, k, v = self._btd(B, H, T, T, hd)
+        gate = jnp.asarray(RNG.uniform(0.5, 2.0, size=(B, H, T)).astype(np.float32))
+        pos_bias = jnp.asarray(RNG.normal(size=(H, T, T)).astype(np.float32))
+        mask = np.ones((B, T), np.float32)
+        mask[1, 250:] = 0
+        ref = self._ref(
+            q, k, v, H, key_mask=jnp.asarray(mask), gate=gate, shared_bias=pos_bias
+        )
+        monkeypatch.setenv("SER_TPU_SOFTMAX_OPT", flags)
+        ours = attention_btd(
+            q, k, v, H, key_mask=jnp.asarray(mask), gate=gate, pos_bias=pos_bias,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_softmax_opt_unknown_flag_raises(self, monkeypatch):
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        q, k, v = self._btd()
+        monkeypatch.setenv("SER_TPU_SOFTMAX_OPT", "nope")
+        with pytest.raises(ValueError, match="unknown flags"):
+            attention_btd(q, k, v, 4, interpret=True)
+
     def test_nonsquare_head_dim(self):
         # HuBERT-XL shape: hd=80 (non-power-of-two lane block)
         from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
