@@ -155,6 +155,12 @@ class PatchMatmulConv(nn.Module):
     Parameter layout is identical to ``nn.Conv`` (``kernel`` [k, 1, out],
     ``bias`` [out]) so checkpoint converters are unaffected; requires
     ``k % s == 0`` (WavLM/w2v2/HuBERT layer 0: k=10, s=5).
+
+    This layout is measured ~optimal: on v5e at B=32 it runs 1.25 ms over
+    the raw stream floor for its 1-GB output; a blocked-Toeplitz relayout
+    (contraction 85 instead of 10, zero-padded weights) measured ~2x
+    WORSE — conv0 is bandwidth- not MXU-limited, so the padding FLOPs and
+    fatter weight panels only add traffic (scripts/exp_conv0_anatomy.py).
     """
 
     features: int

@@ -1,6 +1,7 @@
 """Op-level parity vs torch primitives: GRU, MultiheadAttention, pooling."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -219,3 +220,55 @@ class TestAttentionPool:
         masked = attention_pool(jnp.asarray(feats), jnp.asarray(scores), jnp.asarray(mask))
         trunc = attention_pool(jnp.asarray(feats[:, :6]), jnp.asarray(scores[:, :6]))
         np.testing.assert_allclose(np.asarray(masked), np.asarray(trunc), atol=1e-6)
+
+
+class TestPatchMatmulConv:
+    """Per-phase patch-matmul conv0 vs flax nn.Conv (VALID, 1 channel).
+
+    Exactness across awkward lengths: single-output-frame inputs, lengths
+    that don't divide the stride/phase grid, and long waveforms. (A
+    blocked-Toeplitz relayout was tried and measured 2x WORSE on v5e —
+    scripts/exp_conv0_anatomy.py — so the per-phase layout is canonical.)
+    """
+
+    def _ref(self, wav, kernel, bias):
+        from flax import linen as nn
+
+        conv = nn.Conv(
+            kernel.shape[-1], (kernel.shape[0],), strides=(5,),
+            padding="VALID", use_bias=bias is not None,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )
+        params = {"kernel": jnp.asarray(kernel)}
+        if bias is not None:
+            params["bias"] = jnp.asarray(bias)
+        return conv.apply({"params": params}, wav)
+
+    @pytest.mark.parametrize("L", [10, 14, 55, 1280, 1283, 16000, 16007])
+    def test_matches_conv_across_lengths(self, L):
+        from interspeech_ser_tpu.models.speech import PatchMatmulConv
+
+        rng = np.random.default_rng(L * 31)
+        wav = jnp.asarray(rng.normal(size=(2, L, 1)).astype(np.float32))
+        kernel = rng.normal(size=(10, 1, 24)).astype(np.float32) * 0.3
+        bias = rng.normal(size=(24,)).astype(np.float32)
+
+        mod = PatchMatmulConv(24, 10, 5, True, jnp.float32)
+        got = mod.apply(
+            {"params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}},
+            wav,
+        )
+        want = self._ref(wav, kernel, bias)
+        assert got.shape == want.shape == (2, (L - 10) // 5 + 1, 24)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_no_bias(self):
+        from interspeech_ser_tpu.models.speech import PatchMatmulConv
+
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.normal(size=(1, 407, 1)).astype(np.float32))
+        kernel = rng.normal(size=(10, 1, 8)).astype(np.float32)
+        mod = PatchMatmulConv(8, 10, 5, False, jnp.float32)
+        got = mod.apply({"params": {"kernel": jnp.asarray(kernel)}}, wav)
+        want = self._ref(wav, kernel, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
