@@ -26,9 +26,11 @@ is a separate ~3.8 ms read+write pass over the 1-GB activation (the
 exp_convln "dead even" result compared f32-LN vs bf16-LN, both unfused).
 That epilogue is exactly what the depth-1 fused Pallas frontend removes;
 its measured e2e win (+1.6 ms) is smaller than 3.8, so the kernel's own
-matmul side gives back ~2 ms — tile-size tuning headroom
-(scripts/exp_frontend_fused.py swept block_f=2048 while the shipping
-default was 1024).
+matmul side gives back ~2 ms. Tile size is NOT the cause: a block_f
+sweep of the shipping depth-1 path (scripts/exp_frontend_blockf.py,
+1024/2048/4096/8192) measured 20.82/20.82/20.68/20.52 ms frontend — a
+wash; the residual is the kernel's per-tap contraction-5 matmuls on the
+5-lane wav grid, which the data volume makes cheap enough to live with.
 
 Run: python scripts/exp_conv0_anatomy.py [--batch 32]
 """
