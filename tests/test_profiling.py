@@ -18,7 +18,10 @@ class TestStepTimer:
             with t.span("work"):
                 time.sleep(0.01)
         assert t.counts["work"] == 3
-        assert 0.02 < t.totals["work"] < 0.5
+        # lower bound is exact (3 x 10 ms sleeps); no upper bound — wall
+        # time under a loaded host is unbounded and upper-bound asserts
+        # flake when the suite shares the machine with other work
+        assert t.totals["work"] > 0.02
         assert "work" in t.report()
 
     def test_result_getter_forces_readback(self):
