@@ -11,6 +11,13 @@ Deliberate simplification (mathematically identical): the reference steps
 three separate AdamW optimizers with one shared lr (train_cat_ser.py:144-153);
 AdamW is a per-parameter update, so one AdamW over the same trainables with
 the conv frontend masked out produces the same trajectory.
+
+Scale-out: training and prediction are data-parallel over a device mesh
+(GSPMD jit — batches sharded along rows, params/opt state replicated,
+XLA inserts the grad all-reduce over ICI). Batch rows are padded to a
+mesh multiple with ``sample_mask`` 0, so the loss — including the dim
+task's batch-global CCC moments — is exactly shard-count invariant
+(tested: 1-device == 8-device trajectories, tests/test_baseline.py).
 """
 
 from __future__ import annotations
@@ -60,7 +67,14 @@ class BaselineEngine:
 
         assert task in ("cat", "dim")
         self.task = task
+        # data-parallel over the mesh: batches are sharded along rows
+        # (padded rows carry sample_mask 0 so the loss is shard-count
+        # invariant), params/optimizer state replicated, and XLA inserts
+        # the grad all-reduce over ICI — same GSPMD recipe as
+        # train/engine.FusionEngine. On one chip this degrades to the
+        # plain single-device path.
         self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.ssl_model, ssl_params, self.ssl_cfg, _ = build_speech_encoder(
             ssl_type, dtype=dtype
         )
@@ -112,7 +126,10 @@ class BaselineEngine:
                     sample_mask=sample_mask,
                 )
             return losses.weighted_cross_entropy(pred, y, class_weights, sample_mask)
-        return losses.ccc_loss(pred, labels)  # Σ(1-CCC); masked rows excluded upstream
+        # sample_mask matters: the final partial batch of an epoch is
+        # padded to the static row count, and CCC moments over zero rows
+        # would otherwise corrupt the loss
+        return losses.ccc_loss(pred, labels, sample_mask)
 
     # -- training ------------------------------------------------------------
 
@@ -182,6 +199,8 @@ class BaselineEngine:
                 "head": jax.tree.map(lambda _: "train", params["head"]),
             }
 
+        from ..parallel.mesh import replicate, shard_batch
+
         tx = optax.multi_transform(
             {
                 "train": optax.adamw(
@@ -191,8 +210,11 @@ class BaselineEngine:
             },
             label_fn(self.params),
         )
-        opt_state = tx.init(self.params)
+        opt_state = replicate(self.mesh, tx.init(self.params))
         micro_bs = batch_size // accumulation_steps  # reference L105
+        # static row count: micro batch padded up to a mesh multiple
+        # (extra rows carry sample_mask 0 → zero loss/grad contribution)
+        micro_rows = -(-micro_bs // self.n_data) * self.n_data
 
         def grad_step(params, wav, mask, labels, smask, dkey):
             def loss_fn(p):
@@ -213,7 +235,7 @@ class BaselineEngine:
         lm = LogManager()
         lm.alloc_stat_type_list(["train_loss", "dev_loss"])
         best = {"epoch": -1, "loss": float("inf")}
-        params = self.params
+        params = replicate(self.mesh, self.params)
         lengths = np.asarray([len(w) for w in train_wavs])
 
         sample_w = None
@@ -239,14 +261,17 @@ class BaselineEngine:
                 )
             accum, n_micro = None, 0
             for i, idxs in enumerate(batches):
-                b = bdata.collate_wav(train_set, idxs, micro_bs)
+                b = bdata.collate_wav(train_set, idxs, micro_rows)
                 sig = b.wav.shape
                 if sig not in grad_jit:
                     grad_jit[sig] = jax.jit(grad_step)
                 self.key, dkey = jax.random.split(self.key)
+                wav_d, mask_d, lab_d, smask_d = shard_batch(
+                    self.mesh, (b.wav, b.mask, b.labels, b.sample_mask)
+                )
                 loss, grads = grad_jit[sig](
-                    params, jnp.asarray(b.wav), jnp.asarray(b.mask),
-                    jnp.asarray(b.labels), jnp.asarray(b.sample_mask), dkey,
+                    params, wav_d, mask_d, lab_d, smask_d,
+                    replicate(self.mesh, dkey),
                 )
                 accum = grads if accum is None else add(accum, grads)
                 n_micro += 1
@@ -269,23 +294,26 @@ class BaselineEngine:
     # -- evaluation ------------------------------------------------------------
 
     def predict(self, dataset: bdata.WavDataset, batch_size: int = 8, timing=None):
+        from ..parallel.mesh import replicate, shard_batch
+
         n = len(dataset)
         order = np.argsort([len(w) for w in dataset.wav_list], kind="stable")
         out_dim = 8 if self.task == "cat" else 3
         preds = np.zeros((n, out_dim), np.float32)
         eval_jit: Dict = {}
+        rows = -(-batch_size // self.n_data) * self.n_data
+        params = replicate(self.mesh, self.params)
         for s in range(0, n, batch_size):
             idxs = order[s : s + batch_size].tolist()
-            b = bdata.collate_wav(dataset, idxs, batch_size)
+            b = bdata.collate_wav(dataset, idxs, rows)
             sig = b.wav.shape
             if sig not in eval_jit:
                 eval_jit[sig] = jax.jit(
                     lambda p, w, m: self._apply(p, w, m, True)
                 )
             t0 = time.perf_counter()
-            pred = np.asarray(
-                eval_jit[sig](self.params, jnp.asarray(b.wav), jnp.asarray(b.mask))
-            )
+            wav_d, mask_d = shard_batch(self.mesh, (b.wav, b.mask))
+            pred = np.asarray(eval_jit[sig](params, wav_d, mask_d))
             if timing is not None:
                 timing["inference"] = timing.get("inference", 0.0) + time.perf_counter() - t0
                 timing["audio_sec"] = timing.get("audio_sec", 0.0) + float(b.mask.sum()) / 16000

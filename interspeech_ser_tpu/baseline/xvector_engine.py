@@ -50,7 +50,15 @@ class XVectorEngine:
         seed: int = 7,
         xvector_ckpt: Optional[str] = None,
         last_batch_dev_loss: bool = False,
+        n_devices: Optional[int] = None,
     ):
+        from ..parallel.mesh import make_mesh
+
+        # data-parallel over the mesh (GSPMD jit, same recipe as
+        # BaselineEngine); BatchNorm batch moments become global under
+        # GSPMD — i.e. sync-BN — so the step is shard-count invariant
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.xvector = XVector()
         self.head = EmotionRegression(512, head_dim, 1, 8, dropout=0.5)
         self.head_dim = head_dim
@@ -133,10 +141,28 @@ class XVectorEngine:
         # two AdamW at the same LR (reference :201-207); AdamW is
         # per-parameter, so one optimizer over both trees is identical.
         # torch.optim.AdamW defaults weight_decay=1e-2 (optax's is 1e-4).
-        tx = optax.adamw(lr, weight_decay=1e-2)
-        params = {"xv": self.xv_params, "head": self.head_params}
-        opt_state = tx.init(params)
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+
         micro_bs = batch_size // accumulation_steps
+        # BatchNorm batch moments include every static row, so padded
+        # rows are NOT free here (unlike the mask-excluded losses of the
+        # other engines) — the micro batch must split evenly; when it
+        # does not, train on the largest sub-mesh that divides it
+        mesh, n_data = self.mesh, self.n_data
+        if micro_bs % n_data:
+            n_data = max(
+                d for d in range(1, min(micro_bs, n_data) + 1)
+                if micro_bs % d == 0
+            )
+            mesh = make_mesh(n_data)
+            log(
+                f"micro batch {micro_bs} not divisible by the "
+                f"{self.n_data}-device mesh; training on {n_data} device(s)"
+            )
+
+        tx = optax.adamw(lr, weight_decay=1e-2)
+        params = replicate(mesh, {"xv": self.xv_params, "head": self.head_params})
+        opt_state = replicate(mesh, tx.init(params))
 
         def grad_step(params, xv_stats, wav, lengths, y, smask, dkey):
             def loss_fn(p):
@@ -165,7 +191,7 @@ class XVectorEngine:
         lm = LogManager()
         lm.alloc_stat_type_list(["train_loss", "dev_loss"])
         best = {"epoch": -1, "loss": float("inf")}
-        xv_stats = self.xv_stats
+        xv_stats = replicate(mesh, self.xv_stats)
         n = len(train_set)
         lengths_arr = np.asarray([len(w_) for w_ in train_set.wav_list])
 
@@ -185,10 +211,12 @@ class XVectorEngine:
                 if sig not in grad_jit:
                     grad_jit[sig] = jax.jit(grad_step)
                 self.key, dkey = jax.random.split(self.key)
+                batch_d = shard_batch(
+                    mesh,
+                    (b.wav, lens, np.argmax(b.labels, axis=1), b.sample_mask),
+                )
                 loss, xv_stats, grads = grad_jit[sig](
-                    params, xv_stats, jnp.asarray(b.wav), jnp.asarray(lens),
-                    jnp.asarray(np.argmax(b.labels, axis=1)),
-                    jnp.asarray(b.sample_mask), dkey,
+                    params, xv_stats, *batch_d, replicate(mesh, dkey),
                 )
                 accum = grads if accum is None else add(accum, grads)
                 n_micro += 1
@@ -218,21 +246,25 @@ class XVectorEngine:
         # cache jitted eval fns across calls: fit() evaluates every epoch
         # and a per-call cache would recompile every bucket every epoch
         eval_jit: Dict = self.__dict__.setdefault("_eval_jit", {})
+        from ..parallel.mesh import replicate, shard_batch
+
+        # eval uses running stats (no batch moments), so padded rows ARE
+        # free here — round rows up to a mesh multiple like BaselineEngine
+        rows = -(-batch_size // self.n_data) * self.n_data
+        rep = replicate(
+            self.mesh, (self.xv_params, self.xv_stats, self.head_params)
+        )
         for s in range(0, n, batch_size):
             idxs = order[s : s + batch_size].tolist()
-            b = bdata.collate_wav(dataset, idxs, batch_size)
+            b = bdata.collate_wav(dataset, idxs, rows)
             sig = b.wav.shape
             if sig not in eval_jit:
                 eval_jit[sig] = jax.jit(
                     lambda xp, xs, hp, w, l: self._apply(xp, xs, hp, w, l, False)[0]
                 )
             lens = b.mask.sum(axis=1)
-            pred = np.asarray(
-                eval_jit[sig](
-                    self.xv_params, self.xv_stats, self.head_params,
-                    jnp.asarray(b.wav), jnp.asarray(lens),
-                )
-            )
+            wav_d, lens_d = shard_batch(self.mesh, (b.wav, lens))
+            pred = np.asarray(eval_jit[sig](*rep, wav_d, lens_d))
             preds[idxs] = pred[: len(idxs)]
         return preds
 

@@ -67,10 +67,18 @@ class TorchTransformerEncoderLayer(nn.Module):
 
 
 def _masked_max_pool(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """AdaptiveMaxPool1d(1) over time; padding excluded when mask given."""
-    if mask is not None:
-        x = jnp.where(mask[:, :, None].astype(bool), x, NEG_INF)
-    return jnp.max(x, axis=1)
+    """AdaptiveMaxPool1d(1) over time; padding excluded when mask given.
+
+    Fully-masked rows (static-shape batch padding on a mesh) pool to 0
+    rather than NEG_INF: -1e30 overflows f32 to inf/NaN in the next
+    dense/LayerNorm and poisons shared-parameter gradients of the whole
+    batch. ``where`` keeps both forward and backward exactly zero there.
+    """
+    if mask is None:
+        return jnp.max(x, axis=1)
+    pooled = jnp.max(jnp.where(mask[:, :, None].astype(bool), x, NEG_INF), axis=1)
+    valid = jnp.any(mask.astype(bool), axis=1)[:, None]
+    return jnp.where(valid, pooled, 0.0)
 
 
 def _masked_mean_pool(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:

@@ -32,6 +32,12 @@ Semantics preserved from the reference scripts:
   with T_max = epochs · ceil(N/batch_size) (…_large.py:341-353).
 - dev evaluation runs at batch size 1 in the reference (…:169); here it is
   batched with masks, which is numerically identical (tested).
+
+Scale-out: both engines are data-parallel over a device mesh (GSPMD jit —
+rows sharded, params/opt state replicated, grad all-reduce by XLA). Rows
+are padded to a mesh multiple with ``sample_mask`` 0; every loss term —
+including the batch-global CKA — is masked, so the step is shard-count
+invariant. One chip degrades to the plain single-device path.
 """
 
 from __future__ import annotations
@@ -113,11 +119,19 @@ class JointEngine:
         head_dim: int = 512,
         seed: int = 7,
         dtype: str = "float32",
+        n_devices: Optional[int] = None,
     ):
         from ..models.loader import build_roberta, build_speech_encoder
+        from ..parallel.mesh import make_mesh
 
         self.opts = options
         self.tokenize = tokenize
+        # data-parallel over the mesh (same GSPMD recipe as FusionEngine /
+        # BaselineEngine): batches sharded along rows padded to a mesh
+        # multiple with sample_mask 0 — the batch-global CKA statistic is
+        # masked, so the loss is shard-count invariant
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.ssl_model, ssl_params, self.ssl_cfg, _ = build_speech_encoder(
             ssl_type, dtype=dtype
         )
@@ -183,7 +197,9 @@ class JointEngine:
             raise ValueError(opts.loss)
         if opts.cka != "none":
             _, wav_x, rob_x = out
-            cka = losses.cka_loss(wav_x, rob_x)
+            # sample_mask: padded rows (static shapes / mesh multiples)
+            # must not leak into the batch-global CKA statistic
+            cka = losses.cka_loss(wav_x, rob_x, sample_mask)
             if opts.cka == "inverse":
                 cka = 1.0 - cka
             return main + cka, (main, cka)
@@ -281,9 +297,12 @@ class JointEngine:
             if opts.finetune_encoders
             else optax.set_to_zero()
         )
+        from ..parallel.mesh import replicate, shard_batch
+
         tx = optax.multi_transform({"head": head_tx, "enc": enc_tx}, labels_tree)
-        opt_state = tx.init(self.params)
+        opt_state = replicate(self.mesh, tx.init(self.params))
         micro_bs = batch_size // accumulation_steps
+        micro_rows = -(-micro_bs // self.n_data) * self.n_data
 
         def grad_step(params, wav, wmask, tids, tmask, y, smask, dkey):
             def loss_fn(p):
@@ -306,7 +325,7 @@ class JointEngine:
         lm = LogManager()
         lm.alloc_stat_type_list(["train_loss", "dev_loss"])
         best = {"epoch": -1, "loss": float("inf")}
-        params = self.params
+        params = replicate(self.mesh, self.params)
         n = len(sets["train"])
         lengths = np.asarray([len(w) for w in sets["train"].wav_list])
 
@@ -330,17 +349,18 @@ class JointEngine:
             accum, n_micro = None, 0
             for i, idxs in enumerate(batches):
                 wb, tids, tmask = bdata.collate_txt_wav(
-                    sets["train"], loaders_txt["train"], idxs, micro_bs
+                    sets["train"], loaders_txt["train"], idxs, micro_rows
                 )
                 y = np.argmax(wb.labels, axis=1)
                 sig = (wb.wav.shape, tids.shape)
                 if sig not in grad_jit:
                     grad_jit[sig] = jax.jit(grad_step)
                 self.key, dkey = jax.random.split(self.key)
+                batch_d = shard_batch(
+                    self.mesh, (wb.wav, wb.mask, tids, tmask, y, wb.sample_mask)
+                )
                 total, (main, cka), grads = grad_jit[sig](
-                    params, jnp.asarray(wb.wav), jnp.asarray(wb.mask),
-                    jnp.asarray(tids), jnp.asarray(tmask),
-                    jnp.asarray(y), jnp.asarray(wb.sample_mask), dkey,
+                    params, *batch_d, replicate(self.mesh, dkey),
                 )
                 accum = grads if accum is None else add(accum, grads)
                 n_micro += 1
@@ -376,18 +396,20 @@ class JointEngine:
         feats_r = np.zeros((n, self.head_dim), np.float32) if opts.gated else None
         # cached across calls: fit() evaluates every epoch
         eval_jit: Dict = self.__dict__.setdefault("_eval_jit", {})
+        from ..parallel.mesh import replicate, shard_batch
+
+        rows = -(-batch_size // self.n_data) * self.n_data
+        params = replicate(self.mesh, self.params)
         for s in range(0, n, batch_size):
             idxs = order[s : s + batch_size].tolist()
-            wb, tids, tmask = bdata.collate_txt_wav(wav_set, txt_set, idxs, batch_size)
+            wb, tids, tmask = bdata.collate_txt_wav(wav_set, txt_set, idxs, rows)
             sig = (wb.wav.shape, tids.shape)
             if sig not in eval_jit:
                 eval_jit[sig] = jax.jit(
                     lambda p, w, wm, ti, tm: self._apply(p, w, wm, ti, tm, True)
                 )
-            out = eval_jit[sig](
-                self.params, jnp.asarray(wb.wav), jnp.asarray(wb.mask),
-                jnp.asarray(tids), jnp.asarray(tmask),
-            )
+            batch_d = shard_batch(self.mesh, (wb.wav, wb.mask, tids, tmask))
+            out = eval_jit[sig](params, *batch_d)
             if opts.gated:
                 lg, wx, rx = out
                 feats_w[idxs] = np.asarray(wx)[: len(idxs)]
@@ -461,11 +483,15 @@ class TextOnlyEngine:
         tokenize: Callable[[List[str]], Dict[str, np.ndarray]],
         seed: int = 7,
         dtype: str = "float32",
+        n_devices: Optional[int] = None,
     ):
         from ..models.joint import RobertaClassificationHead
         from ..models.loader import build_roberta
+        from ..parallel.mesh import make_mesh
 
         self.tokenize = tokenize
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.txt_model, txt_params, self.txt_cfg = build_roberta(text_type, dtype=dtype)
         self.cls_head = RobertaClassificationHead(self.txt_cfg.hidden_size, 8)
         self.rng = numpy_generator(seed)
@@ -520,9 +546,12 @@ class TextOnlyEngine:
         w = np.where(freq != 0, n / (len(CLASSES) * np.maximum(freq, 1)), 0.0)
         class_weights = jnp.asarray(w, jnp.float32)
 
+        from ..parallel.mesh import replicate, shard_batch
+
         tx = optax.adamw(lr, weight_decay=1e-1)
-        opt_state = tx.init(self.params)
+        opt_state = replicate(self.mesh, tx.init(self.params))
         micro_bs = batch_size  # reference uses batch_size directly
+        rows = -(-micro_bs // self.n_data) * self.n_data
 
         def grad_step(params, tids, tmask, y, smask, dkey):
             def loss_fn(p):
@@ -554,7 +583,7 @@ class TextOnlyEngine:
             )
             sample_w = sample_w / sample_w.sum()
 
-        params = self.params
+        params = replicate(self.mesh, self.params)
         best = {"epoch": -1, "loss": float("inf")}
         for epoch in range(epochs):
             log(f"Epoch: {epoch}")
@@ -565,7 +594,7 @@ class TextOnlyEngine:
             accum, n_micro = None, 0
             batches = [order[i : i + micro_bs] for i in range(0, n, micro_bs)]
             for i, idxs in enumerate(batches):
-                B = micro_bs
+                B = rows
                 ids = np.zeros((B,) + splits["train"]["ids"].shape[1:], np.int64)
                 mask = np.zeros_like(ids)
                 y = np.zeros((B,), np.int64)
@@ -578,9 +607,9 @@ class TextOnlyEngine:
                 if sig not in grad_jit:
                     grad_jit[sig] = jax.jit(grad_step)
                 self.key, dkey = jax.random.split(self.key)
+                batch_d = shard_batch(self.mesh, (ids, mask, y, smask))
                 loss, grads = grad_jit[sig](
-                    params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(y),
-                    jnp.asarray(smask), dkey,
+                    params, *batch_d, replicate(self.mesh, dkey),
                 )
                 accum = grads if accum is None else add(accum, grads)
                 n_micro += 1
@@ -605,21 +634,27 @@ class TextOnlyEngine:
         return best
 
     def predict(self, ids: np.ndarray, mask: np.ndarray, batch_size: int = 16):
+        from ..parallel.mesh import replicate, shard_batch
+
         n = len(ids)
         logits = np.zeros((n, 8), np.float32)
         # cached across calls: fit() evaluates every epoch
         if not hasattr(self, "_eval_fwd"):
             self._eval_fwd = jax.jit(lambda p, i, m: self._apply(p, i, m, True))
         fwd = self._eval_fwd
+        rows = -(-batch_size // self.n_data) * self.n_data
+        params = replicate(self.mesh, self.params)
         for s in range(0, n, batch_size):
             i_ = ids[s : s + batch_size]
             m_ = mask[s : s + batch_size]
-            pad = batch_size - len(i_)
+            got = len(i_)
+            pad = rows - got
             if pad:
                 i_ = np.concatenate([i_, np.repeat(i_[-1:], pad, 0)])
                 m_ = np.concatenate([m_, np.repeat(m_[-1:], pad, 0)])
-            out = np.asarray(fwd(self.params, jnp.asarray(i_), jnp.asarray(m_)))
-            logits[s : s + batch_size] = out[: n - s if pad else batch_size]
+            i_d, m_d = shard_batch(self.mesh, (i_, m_))
+            out = np.asarray(fwd(params, i_d, m_d))
+            logits[s : s + got] = out[:got]
         return logits
 
     def save_checkpoint(self, model_path: str) -> None:

@@ -139,12 +139,14 @@ class LoRAFTEngine:
         num_emotions: int = 8,
         seed: int = 7,
         dtype: str = "float32",
+        n_devices: Optional[int] = None,
     ):
         import dataclasses as _dc
 
         from transformers import AutoConfig
 
         from ..models.loader import _resolve_dir, build_speech_encoder, build_whisper_encoder
+        from ..parallel.mesh import make_mesh
 
         # Whisper dirs dispatch to the encoder-only whisper stack (the
         # reference fine-tunes it with the same peft q/v LoRA —
@@ -172,6 +174,13 @@ class LoRAFTEngine:
                 ssl_type, dtype=dtype
             )
             hidden = self.cfg.hidden_size
+        # data-parallel over the mesh (GSPMD jit): batches sharded along
+        # rows, base/LoRA/head replicated, grad all-reduce by XLA. On a
+        # multi-device mesh the whisper train-kernel pair self-gates back
+        # to XLA (attention_core: Pallas engages single-device/shard_map
+        # only); one chip keeps the measured 1.28-1.56x kernel default.
+        self.mesh = make_mesh(n_devices)
+        self.n_data = self.mesh.shape["data"]
         self.rank, self.alpha = rank, alpha
         match = lora_lib.match_attention_qv if target == "qv" else lora_lib.match_ffn_dense
         key = jax.random.PRNGKey(seed)
@@ -230,15 +239,20 @@ class LoRAFTEngine:
         from ..utils.audio import normalize_waveform
         from ..utils.seeding import numpy_generator
 
+        from ..parallel.mesh import replicate, shard_batch
+
         rng = numpy_generator(0)
         tx = optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=1e-2)
-        trainable = {"lora": self.lora, "head": self.head_params}
-        opt_state = tx.init(trainable)
-        base = self.base_params
+        trainable = replicate(self.mesh, {"lora": self.lora, "head": self.head_params})
+        opt_state = replicate(self.mesh, tx.init(trainable))
+        # base rides as a jit ARGUMENT (closed-over device trees lower as
+        # HLO constants — payload bloat on the remote-compile tunnel) and
+        # carries an explicit replicated sharding for the mesh
+        base = replicate(self.mesh, self.base_params)
         cw = jnp.asarray(class_weights) if class_weights is not None else None
         sched = ReduceLROnPlateau(lr)
 
-        def step(trainable, opt_state, wav, mask, y, smask, dkey, lr_now):
+        def step(base, trainable, opt_state, wav, mask, y, smask, dkey, lr_now):
             def loss_fn(t):
                 logits = self._forward(
                     lora_lib.freeze_base(base), t["lora"], t["head"], wav, mask, False, dkey
@@ -256,16 +270,19 @@ class LoRAFTEngine:
         norm = [normalize_waveform(w, self.do_normalize) for w in wavs]
         dev_norm = [normalize_waveform(w, self.do_normalize) for w in dev_wavs]
         lr_now = lr
+        # static rows: batch padded up to a mesh multiple (smask 0 rows
+        # contribute zero loss/grad, so the step is shard-count invariant)
+        rows = -(-batch_size // self.n_data) * self.n_data
         for epoch in range(epochs):
             order = rng.permutation(n)
             for s in range(0, n, batch_size):
                 idxs = order[s : s + batch_size]
                 L = max(len(norm[i]) for i in idxs)
                 L = ((L + 3199) // 3200) * 3200
-                wav = np.zeros((batch_size, L), np.float32)
-                mask = np.zeros((batch_size, L), np.float32)
-                y = np.zeros((batch_size,), np.int32)
-                smask = np.zeros((batch_size,), np.float32)
+                wav = np.zeros((rows, L), np.float32)
+                mask = np.zeros((rows, L), np.float32)
+                y = np.zeros((rows,), np.int32)
+                smask = np.zeros((rows,), np.float32)
                 for r, i in enumerate(idxs):
                     wav[r, : len(norm[i])] = norm[i]
                     mask[r, : len(norm[i])] = 1
@@ -273,12 +290,15 @@ class LoRAFTEngine:
                     smask[r] = 1
                 sig = wav.shape
                 if sig not in step_jit:
-                    step_jit[sig] = jax.jit(step, donate_argnums=(0, 1))
+                    step_jit[sig] = jax.jit(step, donate_argnums=(1, 2))
                 self.key, dkey = jax.random.split(self.key)
+                wav_d, mask_d, y_d, smask_d = shard_batch(
+                    self.mesh, (wav, mask, y, smask)
+                )
                 trainable, opt_state, loss = step_jit[sig](
-                    trainable, opt_state,
-                    jnp.asarray(wav), jnp.asarray(mask), jnp.asarray(y),
-                    jnp.asarray(smask), dkey, lr_now,
+                    base, trainable, opt_state,
+                    wav_d, mask_d, y_d, smask_d,
+                    replicate(self.mesh, dkey), lr_now,
                 )
             self.lora, self.head_params = trainable["lora"], trainable["head"]
             dev_pred = self.predict(dev_norm, batch_size)
@@ -293,13 +313,19 @@ class LoRAFTEngine:
         return {"history": history}
 
     def predict(self, wavs: Sequence[np.ndarray], batch_size: int = 8) -> np.ndarray:
+        from ..parallel.mesh import replicate, shard_batch
+
         preds = np.zeros(len(wavs), np.int64)
         fwd_jit: Dict = {}
+        rows = -(-batch_size // self.n_data) * self.n_data
+        base = replicate(self.mesh, self.base_params)
+        lora = replicate(self.mesh, self.lora)
+        head = replicate(self.mesh, self.head_params)
         for s in range(0, len(wavs), batch_size):
             chunk = wavs[s : s + batch_size]
             L = ((max(len(w) for w in chunk) + 3199) // 3200) * 3200
-            wav = np.zeros((batch_size, L), np.float32)
-            mask = np.zeros((batch_size, L), np.float32)
+            wav = np.zeros((rows, L), np.float32)
+            mask = np.zeros((rows, L), np.float32)
             for r, w in enumerate(chunk):
                 wav[r, : len(w)] = w
                 mask[r, : len(w)] = 1
@@ -308,12 +334,8 @@ class LoRAFTEngine:
                 fwd_jit[sig] = jax.jit(
                     lambda b, l, h, w, m: self._forward(b, l, h, w, m, True)
                 )
-            logits = np.asarray(
-                fwd_jit[sig](
-                    self.base_params, self.lora, self.head_params,
-                    jnp.asarray(wav), jnp.asarray(mask),
-                )
-            )
+            wav_d, mask_d = shard_batch(self.mesh, (wav, mask))
+            logits = np.asarray(fwd_jit[sig](base, lora, head, wav_d, mask_d))
             preds[s : s + len(chunk)] = np.argmax(logits[: len(chunk)], axis=1)
         return preds
 

@@ -181,16 +181,33 @@ def svm_ranking_loss(
     return _masked_mean(diff, sample_mask)
 
 
-def cka_loss(feat_a: jnp.ndarray, feat_b: jnp.ndarray) -> jnp.ndarray:
-    """1 - linear CKA between two [B, D] feature batches (loss.py:34-77)."""
+def cka_loss(
+    feat_a: jnp.ndarray,
+    feat_b: jnp.ndarray,
+    sample_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """1 - linear CKA between two [B, D] feature batches (loss.py:34-77).
+
+    For a linear kernel, double-centering the gram matrix (HKH) equals
+    centering the features by their row mean, so with a ``sample_mask``
+    we center by the mean over VALID rows and zero the padded rows —
+    the trace products then equal the unpadded-submatrix CKA exactly
+    (tested). The reference never pads (ragged torch batches), so masked
+    rows must not leak into the statistic.
+    """
     a = feat_a.astype(jnp.float32)
     b = feat_b.astype(jnp.float32)
-    K = a @ a.T
-    L = b @ b.T
-    n = K.shape[0]
-    H = jnp.eye(n, dtype=jnp.float32) - jnp.ones((n, n), dtype=jnp.float32) / n
-    Kc = H @ K @ H
-    Lc = H @ L @ H
+    if sample_mask is None:
+        n = a.shape[0]
+        ac = a - jnp.mean(a, axis=0)
+        bc = b - jnp.mean(b, axis=0)
+    else:
+        w = sample_mask.astype(jnp.float32)[:, None]
+        nvalid = jnp.maximum(jnp.sum(w), 1.0)
+        ac = (a - jnp.sum(a * w, axis=0) / nvalid) * w
+        bc = (b - jnp.sum(b * w, axis=0) / nvalid) * w
+    Kc = ac @ ac.T
+    Lc = bc @ bc.T
     hsic_kl = jnp.trace(Kc @ Lc)
     hsic_kk = jnp.trace(Kc @ Kc)
     hsic_ll = jnp.trace(Lc @ Lc)

@@ -264,3 +264,68 @@ class TestBaselineEndToEnd:
         assert list(df.columns) == ["FileName", "EmoAct", "EmoVal", "EmoDom"]
         assert ((df[["EmoAct", "EmoVal", "EmoDom"]] >= 1).all().all())
         assert ((df[["EmoAct", "EmoVal", "EmoDom"]] <= 7).all().all())
+
+
+class TestBaselineDataParallel:
+    """fit/predict are GSPMD data-parallel: a 1-device and an 8-device
+    mesh must produce the SAME trajectory (batches are padded to a mesh
+    multiple with sample_mask 0; dropout=0 so the static row count does
+    not change the rng draw)."""
+
+    def _fixture(self, tmp_path):
+        from transformers import WavLMConfig, WavLMModel
+
+        wav_dir = tmp_path / "audios"
+        wav_dir.mkdir()
+        rows = []
+        rng = np.random.default_rng(11)
+        for i in range(12):
+            cls = i % 8
+            split = "Train" if i < 8 else "Development"
+            name = f"MSP-PODCAST_dp_{i:03d}.wav"
+            tone = np.sin(np.arange(3600 + 200 * i) * (0.04 + 0.02 * cls))
+            _write_wav(str(wav_dir / name), 0.3 * tone)
+            onehot = [0.0] * 8
+            onehot[cls] = 1.0
+            rows.append([name] + onehot + [0.5, 0.4, 0.3] + [split])
+        cols = ["FileName"] + podcast.CAT_COLUMNS + podcast.ADV_COLUMNS + ["Split_Set"]
+        pd.DataFrame(rows, columns=cols).to_csv(tmp_path / "labels.csv", index=False)
+
+        torch.manual_seed(9)
+        hf_cfg = WavLMConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+            conv_stride=[5, 2], num_feat_extract_layers=2,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=32, max_bucket_distance=64, do_stable_layer_norm=True,
+            feat_extract_norm="layer", conv_bias=True, layerdrop=0.0,
+        )
+        WavLMModel(hf_cfg).save_pretrained(str(tmp_path / "hf"))
+        return tmp_path
+
+    @pytest.mark.parametrize("task", ["cat", "dim"])
+    def test_fit_dp_matches_single_device(self, tmp_path, task):
+        import jax
+
+        from interspeech_ser_tpu.baseline.engine import BaselineEngine
+
+        root = self._fixture(tmp_path)
+
+        def run(nd):
+            eng = BaselineEngine(
+                str(root / "hf"), task=task, head_dim=16, seed=100,
+                n_devices=nd, dropout=0.0,
+            )
+            eng.fit(
+                label_path=str(root / "labels.csv"),
+                audio_path=str(root / "audios"),
+                model_path=str(root / f"m_{task}_{nd}"),
+                batch_size=4, accumulation_steps=2, epochs=1, lr=1e-3,
+            )
+            return jax.tree.map(np.asarray, eng.params)
+
+        p1, p8 = run(1), run(8)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5, rtol=1e-4),
+            p1, p8,
+        )

@@ -123,6 +123,21 @@ class TestCKA:
         a = RNG.normal(size=(16, 32)).astype(np.float32)
         assert float(losses.cka_loss(jnp.asarray(a), jnp.asarray(2 * a))) < 1e-5
 
+    def test_sample_mask_equals_unpadded(self):
+        """Masked CKA over a padded batch == plain CKA over valid rows
+        (static-shape batches pad rows to a mesh multiple; junk rows
+        must not leak into the batch-global statistic)."""
+        a = RNG.normal(size=(11, 32)).astype(np.float32)
+        b = RNG.normal(size=(11, 24)).astype(np.float32)
+        pad_a = np.concatenate([a, RNG.normal(size=(5, 32)).astype(np.float32)])
+        pad_b = np.concatenate([b, RNG.normal(size=(5, 24)).astype(np.float32)])
+        smask = np.concatenate([np.ones(11), np.zeros(5)]).astype(np.float32)
+        ref = float(losses.cka_loss(jnp.asarray(a), jnp.asarray(b)))
+        got = float(
+            losses.cka_loss(jnp.asarray(pad_a), jnp.asarray(pad_b), jnp.asarray(smask))
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
 
 class TestDiffF1:
     def test_matches_reference_formula(self):
@@ -145,6 +160,20 @@ class TestCCCLoss:
         x = RNG.normal(size=(64, 3)).astype(np.float32)
         val = float(losses.ccc_loss(jnp.asarray(x), jnp.asarray(x)))
         assert abs(val) < 1e-4
+
+    def test_sample_mask_equals_unpadded(self):
+        """Masked CCC over a padded batch == plain CCC over valid rows
+        (batch-global moments must exclude static-shape padding)."""
+        pred = RNG.normal(size=(13, 3)).astype(np.float32)
+        lab = RNG.normal(size=(13, 3)).astype(np.float32)
+        pad_p = np.concatenate([pred, RNG.normal(size=(3, 3)).astype(np.float32)])
+        pad_l = np.concatenate([lab, np.zeros((3, 3), np.float32)])
+        smask = np.concatenate([np.ones(13), np.zeros(3)]).astype(np.float32)
+        ref = float(losses.ccc_loss(jnp.asarray(pred), jnp.asarray(lab)))
+        got = float(
+            losses.ccc_loss(jnp.asarray(pad_p), jnp.asarray(pad_l), jnp.asarray(smask))
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
 
     def test_matches_population_moments(self):
         pred = RNG.normal(size=(64, 3)).astype(np.float32)
