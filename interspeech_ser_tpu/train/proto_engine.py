@@ -20,10 +20,28 @@ from flax import linen as nn
 
 from ..ops.attention import attention_pool
 from ..ops.gru import BiGRU
+from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.seeding import numpy_generator
 from . import losses
 from .data import LazyFeatureDataset
 from .samplers import PerfectBatchSampler
+
+
+def _divisible_mesh(n_devices: Optional[int], *batch_sizes: int):
+    """Largest data mesh whose size divides every fixed batch size.
+
+    The proto trainers use drop_last samplers with FIXED batch sizes
+    (C·U train, C·U_val val, val_batch_size CE-eval) and batch-global
+    losses (angle-proto groups, BatchNorm moments), so rows are never
+    padded — instead the mesh shrinks to the largest divisor. GSPMD then
+    shards rows and all-gathers the small [B, D] embeddings for the
+    grouped loss; BatchNorm moments become global (sync-BN), so the step
+    is exactly shard-count invariant (tested).
+    """
+    base = make_mesh(n_devices)
+    n = base.shape["data"]
+    want = max(d for d in range(1, n + 1) if all(b % d == 0 for b in batch_sizes))
+    return base if want == n else make_mesh(want)
 
 
 class StyleEmbeddingNet(nn.Module):
@@ -57,6 +75,7 @@ class ProtoAngularEngine:
         embedding_dim: int = 256,
         use_softmax_proto: bool = False,
         seed: int = 7,
+        n_devices: Optional[int] = None,
     ):
         self.model = StyleEmbeddingNet(
             feat_dim, embedding_dim=embedding_dim,
@@ -65,6 +84,10 @@ class ProtoAngularEngine:
         self.num_classes = num_classes
         self.utter_per_class = utter_per_class
         self.use_softmax_proto = use_softmax_proto
+        # data-parallel: rows sharded, params replicated, XLA all-gathers
+        # the [B, D] embeddings for the grouped angle-proto loss
+        self.mesh = _divisible_mesh(n_devices, num_classes * utter_per_class)
+        self.n_data = self.mesh.shape["data"]
         self.rng = numpy_generator(seed)
         self.key = jax.random.PRNGKey(seed)
         self.params = None
@@ -89,10 +112,11 @@ class ProtoAngularEngine:
                 k, jnp.asarray(feats0.feats[0]), jnp.asarray(feats0.masks[0])
             )["params"]
         tx = optax.adamw(lr, weight_decay=1e-6)
-        opt_state = tx.init(self.params)
+        self.params = replicate(self.mesh, self.params)
+        opt_state = replicate(self.mesh, tx.init(self.params))
         # learnable (w, b) of the angular-proto scaling (reference losses.py:131-136)
-        wb = {"w": jnp.asarray(10.0), "b": jnp.asarray(-5.0)}
-        wb_state = optax.adamw(lr).init(wb)
+        wb = replicate(self.mesh, {"w": jnp.asarray(10.0), "b": jnp.asarray(-5.0)})
+        wb_state = replicate(self.mesh, optax.adamw(lr).init(wb))
 
         def step(params, wb, opt_state, wb_state, feats, mask, y):
             def loss_fn(p, wb):
@@ -124,13 +148,15 @@ class ProtoAngularEngine:
             last = None
             for idxs in sampler:
                 batch = dataset.collate(list(idxs), batch_size)
-                y = jnp.asarray(np.argmax(batch.labels, axis=1))
+                y = np.argmax(batch.labels, axis=1)
                 sig = batch.feats[0].shape
                 if sig not in step_jit:
                     step_jit[sig] = jax.jit(step, donate_argnums=(0, 1, 2, 3))
+                feats_d, mask_d, y_d = shard_batch(
+                    self.mesh, (batch.feats[0], batch.masks[0], y)
+                )
                 self.params, wb, opt_state, wb_state, total, ap = step_jit[sig](
-                    self.params, wb, opt_state, wb_state,
-                    jnp.asarray(batch.feats[0]), jnp.asarray(batch.masks[0]), y,
+                    self.params, wb, opt_state, wb_state, feats_d, mask_d, y_d,
                 )
                 last = (float(total), float(ap))
             if last:
@@ -140,15 +166,20 @@ class ProtoAngularEngine:
     def embed(self, dataset: LazyFeatureDataset, batch_size: int = 16) -> np.ndarray:
         out = []
         fwd: Dict = {}
+        # rows padded to a mesh multiple; padded rows (zero feats/mask)
+        # embed to finite junk and are sliced off below
+        rows = -(-batch_size // self.n_data) * self.n_data
+        params = replicate(self.mesh, self.params)
         for s in range(0, len(dataset), batch_size):
             idxs = list(range(s, min(s + batch_size, len(dataset))))
-            b = dataset.collate(idxs, batch_size)
+            b = dataset.collate(idxs, rows)
             sig = b.feats[0].shape
             if sig not in fwd:
                 fwd[sig] = jax.jit(
                     lambda p, f, m: self.model.apply({"params": p}, f, m)
                 )
-            o = fwd[sig](self.params, jnp.asarray(b.feats[0]), jnp.asarray(b.masks[0]))
+            feats_d, mask_d = shard_batch(self.mesh, (b.feats[0], b.masks[0]))
+            o = fwd[sig](params, feats_d, mask_d)
             emb = o[0] if self.use_softmax_proto else o
             out.append(np.asarray(emb)[: len(idxs)])
         return np.concatenate(out)
@@ -345,6 +376,7 @@ class ProtoOnlyEngine:
         has_batch_stats: bool = False,
         ce_mode: bool = False,
         val_batch_size: int = 32,
+        n_devices: Optional[int] = None,
     ):
         # ce_mode = the base (non-"_only") protoangular trainer
         # (reference bin/old/train_cat_wavlm_lazy_protoangularloss.py):
@@ -353,6 +385,16 @@ class ProtoOnlyEngine:
         # model selection min dev CE -> ser.pt.
         self.ce_mode = ce_mode
         self.val_batch_size = val_batch_size
+        # data-parallel: one mesh sized to divide every fixed batch the
+        # trainer sees (train C·U, val C·U_val, CE-eval val_batch_size) —
+        # rows are never padded because the batch-global angle-proto
+        # groups and BatchNorm moments make padded rows non-free
+        sizes = [num_classes_in_batch * num_utter_per_class,
+                 num_classes_in_batch * num_utter_per_class_val]
+        if ce_mode:
+            sizes.append(val_batch_size)
+        self.mesh = _divisible_mesh(n_devices, *sizes)
+        self.n_data = self.mesh.shape["data"]
         self.net = net
         self.C = num_classes_in_batch
         self.U = num_utter_per_class
@@ -409,9 +451,11 @@ class ProtoOnlyEngine:
         steps_per_epoch = math.ceil(len(train_ds) / (self.C * self.U))
         schedule = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
         tx = optax.radam(schedule, b1=0.9, b2=0.999, eps=1e-8)
-        params = self.variables["params"]
-        opt_state = tx.init(params)
-        extra = {k_: v for k_, v in self.variables.items() if k_ != "params"}
+        params = replicate(self.mesh, self.variables["params"])
+        opt_state = replicate(self.mesh, tx.init(params))
+        extra = replicate(
+            self.mesh, {k_: v for k_, v in self.variables.items() if k_ != "params"}
+        )
 
         C, U, U_val = self.C, self.U, self.U_val
 
@@ -451,8 +495,10 @@ class ProtoOnlyEngine:
                 sig = feats.shape
                 if sig not in train_jit:
                     train_jit[sig] = jax.jit(train_step, donate_argnums=(0, 2))
+                feats_d, y_d = shard_batch(self.mesh, (feats, y))
                 params, opt_state, loss, updates = train_jit[sig](
-                    params, extra, opt_state, jnp.asarray(feats), jnp.asarray(y), dkey
+                    params, extra, opt_state, feats_d, y_d,
+                    replicate(self.mesh, dkey),
                 )
                 if updates:
                     extra = dict(updates)
@@ -474,7 +520,8 @@ class ProtoOnlyEngine:
                     sig = feats.shape
                     if sig not in val_jit:
                         val_jit[sig] = jax.jit(val_step)
-                    v_losses.append(float(val_jit[sig](params, extra, jnp.asarray(feats))))
+                    (feats_d,) = shard_batch(self.mesh, (feats,))
+                    v_losses.append(float(val_jit[sig](params, extra, feats_d)))
                 v = float(np.mean(v_losses)) if v_losses else float("nan")
                 log(f"epoch {epoch + 1}/{epochs}: train angle={last:.4f} val angle={v:.4f}")
                 ckpt_name = "angle_ser.pt"
@@ -509,7 +556,8 @@ class ProtoOnlyEngine:
                 fwd_jit[sig] = jax.jit(
                     lambda p, e, x: self._embed({"params": p, **e}, x, False)[0]
                 )
-            out = fwd_jit[sig](params, extra, jnp.asarray(fb))
+            (fb_d,) = shard_batch(self.mesh, (fb,))
+            out = fwd_jit[sig](params, extra, fb_d)
             logits_all.append(np.asarray(out[1]))
             y_all.append(y)
         logits = np.concatenate(logits_all)

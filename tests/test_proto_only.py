@@ -323,6 +323,46 @@ class TestProtoCEMode:
         assert "classifier.3.weight" in sd
 
 
+class TestProtoDataParallel:
+    def test_fit_dp_matches_single_device(self, proto_fixture, tmp_path):
+        """Proto training is GSPMD data-parallel with a divisibility-
+        shrunk mesh (train batch 12 / val batch 8 → 4 of the 8 virtual
+        devices); the 1-device and multi-device trajectories must be
+        identical (rows sharded, grouped angle-proto loss all-gathered)."""
+        import jax
+
+        from interspeech_ser_tpu.train.proto_engine import (
+            LazyProtoDataset,
+            ProtoOnlyEngine,
+            ProtoSERNet,
+        )
+
+        df = pd.read_csv(proto_fixture / "labels.csv")
+        y = np.argmax(df[[c for c in df.columns][1:9]].values, axis=1)
+        tr = df.Split_Set == "Train"
+        train_ds = LazyProtoDataset(
+            df[tr].FileName.tolist(), y[tr.values], str(proto_fixture / "lazy")
+        )
+        val_ds = LazyProtoDataset(
+            df[~tr].FileName.tolist(), y[~tr.values], str(proto_fixture / "lazy")
+        )
+
+        def run(nd):
+            engine = ProtoOnlyEngine(
+                ProtoSERNet(12, 16, 8, 1), 4, 3, 2, seed=3, n_devices=nd
+            )
+            engine.fit(train_ds, val_ds, epochs=2, lr=5e-3, log=lambda *_: None)
+            return engine, jax.tree.map(np.asarray, engine.variables["params"])
+
+        e1, p1 = run(1)
+        e8, p8 = run(None)
+        assert e1.n_data == 1 and e8.n_data == 4  # gcd(12, 8) on 8 devices
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5, rtol=1e-4),
+            p1, p8,
+        )
+
+
 class TestProtoCollate:
     def test_collate_is_class_major_without_permutation(self, proto_fixture):
         """This repo's PerfectBatchSampler emits class-major batches, so
