@@ -273,6 +273,12 @@ def attention_btd(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     opts = _softmax_opt_flags()
+    # experiment knob: override the q-block size (scripts/exp_blockq.py).
+    # Zero-default — production always takes the 512 path chosen by the
+    # VMEM budgeting below.
+    env_bq = os.environ.get("SER_TPU_ONESHOT_BLOCK_Q")
+    if env_bq:
+        block_q = int(env_bq)
 
     block_q = min(block_q, ((Tq + 127) // 128) * 128)
     # VMEM at bq: q/out panels 2·bq·D + k/v panels 2·Tk·D (dtype bytes,

@@ -28,6 +28,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The backward kernel keeps the recurrent weights AND the dW accumulators
+# VMEM-resident (f32 [2, H, 3H] each = 6.3 MB at H=512), which together
+# with the double-buffered per-step blocks overflows the compiler's
+# default 16 MiB scoped-vmem limit (measured 16.51 MiB at the production
+# text-GRU shape B2=128 H=512 — exp_gru_train r03b). v5e has 128 MiB
+# physical; raise the scoped limit like the attention kernels do.
+_VMEM_LIMIT = 48 * 2 ** 20
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _kernel(x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, *, hidden: int):
     t = pl.program_id(0)
@@ -85,6 +94,7 @@ def gru_sequence(
         out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(xs, ms, w_hh.astype(jnp.float32), b_hh.astype(jnp.float32)[None, :])
 
@@ -153,6 +163,7 @@ def _bidir_carries_impl(
         out_specs=pl.BlockSpec((1, B2, H), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, B2, H), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((B2, H), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(xs, ms, w_hh2.astype(jnp.float32), b_hh2.astype(jnp.float32)[:, None, :])
 
@@ -279,6 +290,7 @@ def _bidir_bwd_kernel_impl(x_proj, w_hh2, b_hh2, mask, h, g, interpret):
             jax.ShapeDtypeStruct((2, 1, H3), f32),
         ],
         scratch_shapes=[pltpu.VMEM((B2, H), f32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(
         gs, h_prev, xs, ms,
@@ -319,12 +331,15 @@ def _gru_bidir_bwd(interpret, res, g):
 
     MEASURED history (v5e, production fusion train step bs64,
     whisper1280-T512 + roberta1024-T80, scripts/exp_gru_train.py):
-    scan fwd + autodiff bwd 29.9 ms/step; kernel fwd + hand-scan bwd
+    scan fwd + autodiff bwd 29.72 ms/step; kernel fwd + hand-scan bwd
     31.0 (0.97x); a whole-sequence-MXU hoist 40.1 (HBM round-trips of
-    [T,2,B,3H] f32 coefficients). The Pallas backward keeps the weights
-    AND dW/db accumulators VMEM-resident across the whole reverse grid —
-    the structure that made the forward kernel win. engine._use_gru_kernel
-    decides where the kernel pair actually runs.
+    [T,2,B,3H] f32 coefficients); kernel fwd + THIS Pallas backward
+    25.99 ms/step (1.143x — the win, once the scoped-vmem limit above
+    let it compile). The backward keeps the weights AND dW/db
+    accumulators VMEM-resident across the whole reverse grid — the
+    structure that made the forward kernel win. engine._use_gru_kernel
+    decides where the kernel pair actually runs (training default on
+    single-device TPU; eval everywhere the call is local compute).
     """
     x_proj, w_hh2, b_hh2, mask, h = res
     dxp, dwhh, dbhh = _bidir_bwd_kernel_impl(

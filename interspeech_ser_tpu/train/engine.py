@@ -290,19 +290,27 @@ class FusionEngine:
             use_gru_kernel=use_gru_kernel,
         )
 
-    def _use_gru_kernel(self) -> bool:
-        # fused GRU kernel on the EVAL path (single device, or per-shard
-        # under the eval step's shard_map wrap below — both places the
-        # Pallas call is plain local compute). The kernel carries a Pallas
-        # backward (custom_vjp) too, but the r03a A/B measured the scan
-        # train step faster (31.0 vs 29.9 ms/step at production bs64 —
-        # scripts/exp_gru_train.py), so training keeps the lax.scan until
-        # the kernel-bwd rematch says otherwise.
-        return jax.default_backend() == "tpu"
+    def _use_gru_kernel(self, training: bool = False) -> bool:
+        # Fused GRU kernel (ops/pallas/gru_kernel.py). EVAL: single device,
+        # or per-shard under the eval step's shard_map wrap below — both
+        # places the Pallas call is plain local compute. TRAINING: the
+        # kernel pair (sequential-grid forward + reverse-grid Pallas
+        # backward via custom_vjp) measured 25.99 vs 29.72 ms/step (1.14x)
+        # at production bs64 (scripts/exp_gru_train.py r03c — the earlier
+        # 31.0 ms "negative" was kernel-fwd + hand-SCAN-bwd; the Pallas
+        # backward itself had never compiled until its scoped-VMEM limit
+        # was raised). Training rides jit + NamedSharding on multi-device
+        # meshes, where a Pallas call does not auto-partition — so the
+        # training default engages single-device only.
+        if jax.default_backend() != "tpu":
+            return False
+        return (not training) or self.mesh.size == 1
 
-    def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic):
+    def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic,
+                    use_gru_kernel=False):
         feats, masks, labels, sample_mask, aux_y = batch_dev
-        out = self._apply_model(params, feats, masks, deterministic, dropout_key)
+        out = self._apply_model(params, feats, masks, deterministic, dropout_key,
+                                use_gru_kernel=use_gru_kernel)
         logits = out["logits"]
         opt = self.opt
 
@@ -374,10 +382,13 @@ class FusionEngine:
         if key in self._train_step_cache:
             return self._train_step_cache[key]
 
+        use_gru_kernel = self._use_gru_kernel(training=True)
+
         def step(params, opt_state, feats, masks, labels, sample_mask, aux_y, class_w, lr, dkey):
             def loss_fn(p):
                 return self._loss_terms(
-                    p, (feats, masks, labels, sample_mask, aux_y), dkey, class_w, False
+                    p, (feats, masks, labels, sample_mask, aux_y), dkey, class_w, False,
+                    use_gru_kernel=use_gru_kernel,
                 )
 
             (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -586,10 +597,13 @@ class FusionEngine:
         accum = None
         n_micro = 0
 
+        use_gru_kernel = self._use_gru_kernel(training=True)
+
         def grad_step(params, feats, masks, labels, smask, aux_y, cw, dkey):
             def loss_fn(p):
                 return self._loss_terms(
-                    p, (feats, masks, labels, smask, aux_y), dkey, cw, False
+                    p, (feats, masks, labels, smask, aux_y), dkey, cw, False,
+                    use_gru_kernel=use_gru_kernel,
                 )
 
             (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -14,11 +14,20 @@ MEASURED RESULTS (v5e):
   negative; the hand bwd re-derives gates the autodiff scan gets as
   saved residuals). A whole-sequence-MXU hoist was worse still (40.1 ms
   — [T,2,B,3H] f32 coefficient HBM round-trips).
-- r03b: the vjp backward is now a sequential-grid Pallas kernel
+- r03b: the vjp backward became a sequential-grid Pallas kernel
   (reverse time, weights + dW/db accumulators VMEM-resident —
-  pallas/gru_kernel._kernel_bidir_bwd); re-run this script to A/B
-  kernel-fwd+kernel-bwd against the scan. Gradient parity:
-  tests/test_gru_kernel.py (params + inputs + masked-frame zeroing).
+  pallas/gru_kernel._kernel_bidir_bwd) but FAILED TO COMPILE on chip:
+  the resident whh input block + dW accumulator output (f32 [2,512,1536]
+  = 6.3 MB each) overflow the compiler's default 16 MiB scoped-vmem
+  limit by 520 KiB at the production text-GRU shape (B2=128, H=512).
+- r03c: with the kernel's scoped-vmem limit raised (CompilerParams,
+  like the attention kernels): **kernel pair 25.99 ms/step vs scan
+  29.72 (1.143x)** — the kernel pair is now the TRAINING default on
+  single-device TPU (engine._use_gru_kernel(training=True); multi-device
+  training rides jit+GSPMD where a Pallas call does not partition).
+  First-step loss delta 2.8e-4 (f32 gate recompute noise). Gradient
+  parity: tests/test_gru_kernel.py (params + inputs + masked-frame
+  zeroing).
 
 Steps chain through params (data-dependent), so no XLA loop hoisting —
 timed with scalar readbacks (tunnel-safe).
