@@ -9,6 +9,16 @@ B=48 sits between the measured 32 (win) and 64 (slightly behind).
 
 Same chained-dependency timing as bench.py. Run on the real chip:
     python scripts/exp_blockq.py
+
+MEASURED (v5e, bf16, r03): the shipping default wins every case —
+    block_q=512 B=32: 296.74 utt/s   (the default)
+    block_q=256 B=32: 287.23
+    block_q=128 B=32: 282.30
+    block_q=512 B=48: 284.78
+    block_q=256 B=48: 275.63
+Smaller q blocks lose twice: the [16, bq, 512] bias panel re-fetches per
+q block, and each kernel instance does less MXU work per softmax pass.
+B=48 sits below B=32 like B=64 does. NEGATIVE — defaults unchanged.
 """
 import os
 import subprocess
