@@ -20,6 +20,7 @@ stays forward-only).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -32,10 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM-resident (f32 [2, H, 3H] each = 6.3 MB at H=512), which together
 # with the double-buffered per-step blocks overflows the compiler's
 # default 16 MiB scoped-vmem limit (measured 16.51 MiB at the production
-# text-GRU shape B2=128 H=512 — exp_gru_train r03b). v5e has 128 MiB
-# physical; raise the scoped limit like the attention kernels do.
-_VMEM_LIMIT = 48 * 2 ** 20
+# text-GRU shape B2=128 H=512 — exp_gru_train r03b). With K=8 grid
+# unrolling the double-buffered time blocks are 8× fatter (~47 MiB total
+# at the production shape). v5e has 128 MiB physical; raise the scoped
+# limit like the attention kernels do.
+_VMEM_LIMIT = 64 * 2 ** 20
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _grid_unroll(T: int) -> int:
+    """Recurrent steps per grid iteration for the bidirectional kernels.
+
+    Batching K steps into one grid iteration amortizes the fixed
+    grid-sequencing/DMA-descriptor cost. MEASURED (v5e, production shape
+    B2=128 H=512 T=512, scripts/exp_fusion_anatomy.py): isolated fwd+bwd
+    pair 7.25 ms at K=8 vs 7.47 at K=1 (~3%); full fusion train step
+    26.1 → 25.9 ms. Small because the serial dependency chain — not the
+    per-iteration overhead — is the bound; kept because the win is
+    consistent in both kernels and the math is identical in the same
+    order (exact). Overridable via SER_TPU_GRU_UNROLL; clamped to T.
+    """
+    env = os.environ.get("SER_TPU_GRU_UNROLL")
+    K = int(env) if env else 8
+    return max(1, min(K, T))
 
 
 def _kernel(x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, *, hidden: int):
@@ -103,7 +123,10 @@ def gru_sequence(
     return jnp.swapaxes(out, 0, 1)  # [B, T, H]
 
 
-def _kernel_bidir(x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, *, hidden: int, half: int):
+def _kernel_bidir(
+    x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, *,
+    hidden: int, half: int, unroll: int = 1,
+):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -111,27 +134,33 @@ def _kernel_bidir(x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, *, hidden: int
         h_scr[:] = jnp.zeros_like(h_scr)
 
     H = hidden
-    h = h_scr[:]  # [2B, H]
-    # per-half recurrent weights: rows [:B] forward, [B:] backward
-    hp_f = jnp.dot(h[:half], whh_ref[0], preferred_element_type=jnp.float32)
-    hp_b = jnp.dot(h[half:], whh_ref[1], preferred_element_type=jnp.float32)
-    hp = jnp.concatenate(
-        [hp_f + bhh_ref[0, 0], hp_b + bhh_ref[1, 0]], axis=0
-    )  # [2B, 3H]
-    xp = x_ref[0]
-    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
-    z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
-    n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
-    h_new = (1.0 - z) * n + z * h
-    m = m_ref[0]
-    h_next = m * h_new + (1.0 - m) * h
-    h_scr[:] = h_next
-    # UNMASKED carry emitted (masked steps hold the frozen carry); the
-    # wrapper multiplies by the mask outside — keeping the multiply out of
-    # the custom_vjp means the backward receives d(carry) with the mask
-    # factor already applied by autodiff, and the carry sequence doubles
-    # as the training residual (no second output needed)
-    out_ref[0] = h_next.astype(out_ref.dtype)
+    # ``unroll`` recurrent steps per grid iteration (statically unrolled):
+    # identical per-step math, but the per-iteration fixed cost (grid
+    # sequencing + DMA descriptor setup) is amortized K-fold — the
+    # recurrence is latency- not FLOP-bound (~7 µs/step measured vs
+    # ~1-2 µs of per-step work, scripts/exp_fusion_anatomy.py).
+    for k in range(unroll):
+        h = h_scr[:]  # [2B, H]
+        # per-half recurrent weights: rows [:B] forward, [B:] backward
+        hp_f = jnp.dot(h[:half], whh_ref[0], preferred_element_type=jnp.float32)
+        hp_b = jnp.dot(h[half:], whh_ref[1], preferred_element_type=jnp.float32)
+        hp = jnp.concatenate(
+            [hp_f + bhh_ref[0, 0], hp_b + bhh_ref[1, 0]], axis=0
+        )  # [2B, 3H]
+        xp = x_ref[k]
+        r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+        z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
+        n = jnp.tanh(xp[:, 2 * H :] + r * hp[:, 2 * H :])
+        h_new = (1.0 - z) * n + z * h
+        m = m_ref[k]
+        h_next = m * h_new + (1.0 - m) * h
+        h_scr[:] = h_next
+        # UNMASKED carry emitted (masked steps hold the frozen carry); the
+        # wrapper multiplies by the mask outside — keeping the multiply out
+        # of the custom_vjp means the backward receives d(carry) with the
+        # mask factor already applied by autodiff, and the carry sequence
+        # doubles as the training residual (no second output needed)
+        out_ref[k] = h_next.astype(out_ref.dtype)
 
 
 def _bidir_carries_impl(
@@ -146,44 +175,53 @@ def _bidir_carries_impl(
     half = B2 // 2
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    K = _grid_unroll(T)
     xs = jnp.swapaxes(x_proj.astype(jnp.float32), 0, 1)  # [T, 2B, 3H]
     ms = jnp.swapaxes(mask.astype(jnp.float32), 0, 1)[:, :, None]
+    # pad time to a multiple of K with mask 0 (carry freeze → padded
+    # steps emit the frozen final carry, sliced off below; exact)
+    T_p = ((T + K - 1) // K) * K
+    if T_p != T:
+        xs = jnp.pad(xs, ((0, T_p - T), (0, 0), (0, 0)))
+        ms = jnp.pad(ms, ((0, T_p - T), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         lambda x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr: _kernel_bidir(
-            x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr, hidden=H, half=half
+            x_ref, m_ref, whh_ref, bhh_ref, out_ref, h_scr,
+            hidden=H, half=half, unroll=K,
         ),
-        grid=(T,),
+        grid=(T_p // K,),
         in_specs=[
-            pl.BlockSpec((1, B2, H3), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, B2, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, B2, H3), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, B2, 1), lambda t: (t, 0, 0)),
             pl.BlockSpec((2, H, H3), lambda t: (0, 0, 0)),
             pl.BlockSpec((2, 1, H3), lambda t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B2, H), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, B2, H), x_proj.dtype),
+        out_specs=pl.BlockSpec((K, B2, H), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_p, B2, H), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((B2, H), jnp.float32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(xs, ms, w_hh2.astype(jnp.float32), b_hh2.astype(jnp.float32)[:, None, :])
 
-    return jnp.swapaxes(out, 0, 1)
+    return jnp.swapaxes(out[:T], 0, 1)
 
 
 def _kernel_bidir_bwd(
-    g_ref,  # [1, 2B, H] upstream cotangent at (reversed) step
-    hprev_ref,  # [1, 2B, H] carry entering the step
-    x_ref,  # [1, 2B, 3H] input projection at the step
-    m_ref,  # [1, 2B, 1] mask
+    g_ref,  # [K, 2B, H] upstream cotangent at the block's (reversed) steps
+    hprev_ref,  # [K, 2B, H] carry entering each step
+    x_ref,  # [K, 2B, 3H] input projection at each step
+    m_ref,  # [K, 2B, 1] mask
     whh_ref,  # [2, H, 3H]
     bhh_ref,  # [2, 1, 3H]
-    dxp_ref,  # out: [1, 2B, 3H]
+    dxp_ref,  # out: [K, 2B, 3H]
     dwhh_ref,  # out: [2, H, 3H] (block resident across the grid)
     dbhh_ref,  # out: [2, 1, 3H]
     dh_scr,  # scratch: [2B, H] f32 running carry-cotangent
     *,
     hidden: int,
     half: int,
+    unroll: int = 1,
 ):
     """Reverse-time GRU backward as ONE sequential-grid kernel.
 
@@ -191,7 +229,8 @@ def _kernel_bidir_bwd(
     recurrent weights AND the dW/db accumulators VMEM-resident for the
     whole sequence (the accumulators live in the constant-index output
     blocks, so they never ride HBM between steps) — the same structure
-    that made the forward kernel win over ``lax.scan``.
+    that made the forward kernel win over ``lax.scan``. ``unroll`` steps
+    per grid iteration, walked in descending k (time runs backwards).
     """
     t = pl.program_id(0)
     H = hidden
@@ -202,50 +241,57 @@ def _kernel_bidir_bwd(
         dwhh_ref[...] = jnp.zeros(dwhh_ref.shape, dwhh_ref.dtype)
         dbhh_ref[...] = jnp.zeros(dbhh_ref.shape, dbhh_ref.dtype)
 
-    hprev = hprev_ref[0]  # [2B, H] f32
-    xp = x_ref[0]
-    m = m_ref[0]
-    # recompute the gates from the saved carries
-    hp_f = jnp.dot(hprev[:half], whh_ref[0], preferred_element_type=jnp.float32)
-    hp_b = jnp.dot(hprev[half:], whh_ref[1], preferred_element_type=jnp.float32)
-    hp = jnp.concatenate([hp_f + bhh_ref[0, 0], hp_b + bhh_ref[1, 0]], axis=0)
-    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
-    z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
-    hn = hp[:, 2 * H :]
-    n = jnp.tanh(xp[:, 2 * H :] + r * hn)
+    for k in range(unroll - 1, -1, -1):
+        hprev = hprev_ref[k]  # [2B, H] f32
+        xp = x_ref[k]
+        m = m_ref[k]
+        # recompute the gates from the saved carries
+        hp_f = jnp.dot(
+            hprev[:half], whh_ref[0], preferred_element_type=jnp.float32
+        )
+        hp_b = jnp.dot(
+            hprev[half:], whh_ref[1], preferred_element_type=jnp.float32
+        )
+        hp = jnp.concatenate(
+            [hp_f + bhh_ref[0, 0], hp_b + bhh_ref[1, 0]], axis=0
+        )
+        r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+        z = jax.nn.sigmoid(xp[:, H : 2 * H] + hp[:, H : 2 * H])
+        hn = hp[:, 2 * H :]
+        n = jnp.tanh(xp[:, 2 * H :] + r * hn)
 
-    dht = g_ref[0].astype(jnp.float32) + dh_scr[:]
-    dh_new = dht * m
-    dh_skip = dht * (1.0 - m)
-    dn_pre = dh_new * (1.0 - z) * (1.0 - n * n)
-    dz_pre = dh_new * (hprev - n) * z * (1.0 - z)
-    dr_pre = dn_pre * hn * r * (1.0 - r)
-    dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)  # [2B, 3H]
-    dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
-    # dh through the recurrent matmul: dhp @ whh^T per direction
-    back_f = jax.lax.dot_general(
-        dhp[:half], whh_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    back_b = jax.lax.dot_general(
-        dhp[half:], whh_ref[1], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dh_scr[:] = (
-        dh_skip + dh_new * z + jnp.concatenate([back_f, back_b], axis=0)
-    )
-    # weight/bias cotangents accumulate in the resident output blocks
-    dwhh_ref[0] += jax.lax.dot_general(
-        hprev[:half], dhp[:half], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dwhh_ref[1] += jax.lax.dot_general(
-        hprev[half:], dhp[half:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dbhh_ref[0, 0] += jnp.sum(dhp[:half], axis=0)
-    dbhh_ref[1, 0] += jnp.sum(dhp[half:], axis=0)
-    dxp_ref[0] = dxp.astype(dxp_ref.dtype)
+        dht = g_ref[k].astype(jnp.float32) + dh_scr[:]
+        dh_new = dht * m
+        dh_skip = dht * (1.0 - m)
+        dn_pre = dh_new * (1.0 - z) * (1.0 - n * n)
+        dz_pre = dh_new * (hprev - n) * z * (1.0 - z)
+        dr_pre = dn_pre * hn * r * (1.0 - r)
+        dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)  # [2B, 3H]
+        dhp = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+        # dh through the recurrent matmul: dhp @ whh^T per direction
+        back_f = jax.lax.dot_general(
+            dhp[:half], whh_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        back_b = jax.lax.dot_general(
+            dhp[half:], whh_ref[1], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_scr[:] = (
+            dh_skip + dh_new * z + jnp.concatenate([back_f, back_b], axis=0)
+        )
+        # weight/bias cotangents accumulate in the resident output blocks
+        dwhh_ref[0] += jax.lax.dot_general(
+            hprev[:half], dhp[:half], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwhh_ref[1] += jax.lax.dot_general(
+            hprev[half:], dhp[half:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbhh_ref[0, 0] += jnp.sum(dhp[:half], axis=0)
+        dbhh_ref[1, 0] += jnp.sum(dhp[half:], axis=0)
+        dxp_ref[k] = dxp.astype(dxp_ref.dtype)
 
 
 def _bidir_bwd_kernel_impl(x_proj, w_hh2, b_hh2, mask, h, g, interpret):
@@ -256,36 +302,44 @@ def _bidir_bwd_kernel_impl(x_proj, w_hh2, b_hh2, mask, h, g, interpret):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     f32 = jnp.float32
+    K = _grid_unroll(T)
     xs = jnp.swapaxes(x_proj.astype(f32), 0, 1)  # [T, 2B, 3H]
     gs = jnp.swapaxes(g.astype(f32), 0, 1)  # [T, 2B, H]
     hs = jnp.swapaxes(h.astype(f32), 0, 1)  # [T, 2B, H]
     h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
     ms = jnp.swapaxes(mask.astype(f32), 0, 1)[:, :, None]
+    # pad time to a multiple of K with mask 0 AND g 0: a padded step has
+    # every gate cotangent scaled by m=0 (dxp=0, dW+=0) and passes dh
+    # through dh_skip unchanged — an exact no-op
+    T_p = ((T + K - 1) // K) * K
+    if T_p != T:
+        pad = ((0, T_p - T), (0, 0), (0, 0))
+        xs, gs, h_prev, ms = (jnp.pad(a, pad) for a in (xs, gs, h_prev, ms))
 
-    rev = lambda t: (T - 1 - t, 0, 0)  # grid walks time backwards
+    rev = lambda t: (T_p // K - 1 - t, 0, 0)  # grid walks time backwards
     dxp, dwhh, dbhh = pl.pallas_call(
         lambda g_r, hp_r, x_r, m_r, w_r, b_r, dx_r, dw_r, db_r, dh_s: (
             _kernel_bidir_bwd(
                 g_r, hp_r, x_r, m_r, w_r, b_r, dx_r, dw_r, db_r, dh_s,
-                hidden=H, half=half,
+                hidden=H, half=half, unroll=K,
             )
         ),
-        grid=(T,),
+        grid=(T_p // K,),
         in_specs=[
-            pl.BlockSpec((1, B2, H), rev),
-            pl.BlockSpec((1, B2, H), rev),
-            pl.BlockSpec((1, B2, H3), rev),
-            pl.BlockSpec((1, B2, 1), rev),
+            pl.BlockSpec((K, B2, H), rev),
+            pl.BlockSpec((K, B2, H), rev),
+            pl.BlockSpec((K, B2, H3), rev),
+            pl.BlockSpec((K, B2, 1), rev),
             pl.BlockSpec((2, H, H3), lambda t: (0, 0, 0)),
             pl.BlockSpec((2, 1, H3), lambda t: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B2, H3), rev),
+            pl.BlockSpec((K, B2, H3), rev),
             pl.BlockSpec((2, H, H3), lambda t: (0, 0, 0)),
             pl.BlockSpec((2, 1, H3), lambda t: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B2, H3), f32),
+            jax.ShapeDtypeStruct((T_p, B2, H3), f32),
             jax.ShapeDtypeStruct((2, H, H3), f32),
             jax.ShapeDtypeStruct((2, 1, H3), f32),
         ],
@@ -296,7 +350,7 @@ def _bidir_bwd_kernel_impl(x_proj, w_hh2, b_hh2, mask, h, g, interpret):
         gs, h_prev, xs, ms,
         w_hh2.astype(f32), b_hh2.astype(f32)[:, None, :],
     )
-    return jnp.swapaxes(dxp, 0, 1), dwhh, dbhh[:, 0, :]
+    return jnp.swapaxes(dxp[:T], 0, 1), dwhh, dbhh[:, 0, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -14,6 +14,18 @@ bs64, fusion hidden 512):
   d) isolated GRU fwd+bwd, text shapes   (kernel pair vs scan)
 
 Chained-dependency timing (tunnel-safe).
+
+MEASURED (v5e, r03):
+- isolated GRU pair T512: scan 16.0 ms; kernel K=1 7.47; kernel K=8
+  grid-unroll (fwd+bwd) 7.25 — the unroll is a consistent ~3% and ships
+  as the default, but the serial dependency chain (not grid overhead)
+  is the bound, so deeper unrolls have nothing left to amortize.
+- full step: scan 29.7; kernel pair 25.9 (K=8) vs 26.1 (K=1).
+- bf16_compute=True (params+features cast bf16 inside the loss, f32
+  master params/loss): 24.95 vs 26.14 ms — only 1.05x, NEGATIVE as a
+  numerics-changing mode. XLA's default-precision f32 dots already ride
+  the MXU via bf16 passes, and the step is recurrence/small-op bound,
+  so mixed precision has no meaningful GEMM share to win. Not shipped.
 """
 import os
 import sys
@@ -25,7 +37,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from interspeech_ser_tpu.ops.gru import bidirectional_gru  # noqa: F401 (import check)
+
 from interspeech_ser_tpu.ops.pallas.gru_kernel import gru_bidir_carries
 
 B, H = 64, 512
@@ -87,11 +99,21 @@ def gru_pair_time(T, use_kernel):
             bwd = one_dir(xp[B:], w[1], b[1], m[B:])
             return jnp.sum(fwd) + jnp.sum(bwd)
 
-    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    def scalar_grads(xp, w, b):
+        # reduce every cotangent on-device: a [2B,T,3H] dxp readback over
+        # the tunnel costs ~600 ms and would swamp the measurement
+        gs = jax.grad(loss, argnums=(0, 1, 2))(xp, w, b)
+        return sum(jnp.sum(g_.astype(jnp.float32)) for g_ in gs)
+
+    g = jax.jit(scalar_grads)
     return time_fn(g, xp, w, b)
 
 
-def full_step_time(use_kernel):
+def full_step_time(use_kernel, bf16_compute=False):
+    """Production fusion train step; ``bf16_compute=True`` casts params
+    and features to bf16 inside the loss (master params + optimizer stay
+    f32, loss in f32) — measures the mixed-precision headroom of the
+    non-GRU GEMM share (MXU runs f32 at 1/4 bf16 rate)."""
     import optax
 
     from interspeech_ser_tpu.models.fusion import MultiModalEmotionClassifier
@@ -120,8 +142,13 @@ def full_step_time(use_kernel):
     @jax.jit
     def step(params, opt_state):
         def loss_fn(p):
+            if bf16_compute:
+                p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+                x1, x2 = f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16)
+            else:
+                x1, x2 = f1, f2
             logits = model.apply(
-                {"params": p}, [f1, f2], masks=[m1, m2], deterministic=False,
+                {"params": p}, [x1, x2], masks=[m1, m2], deterministic=False,
                 rngs={"dropout": dkey}, use_gru_kernel=use_kernel,
             )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
