@@ -234,6 +234,34 @@ def _log_bucket_positions(t: int, bucket_size: int, max_position: int) -> np.nda
     return np.where(abs_pos <= mid, rel, (log_pos * sign)).astype(np.int64)
 
 
+def _gather_last_static(x: jnp.ndarray, idx: np.ndarray, max_onehot_elems: int = 16_000_000):
+    """y[..., q, k] = x[..., q, idx[q, k]] for a STATIC index matrix.
+
+    ``jnp.take_along_axis`` lowers to a lane-dimension gather, which the
+    TPU executes element-at-a-time — measured ~6 ms/layer on the
+    disentangled-attention c2p/p2c selects at B=32, T=80 (48 layers of it
+    made DeBERTa-v2-xxl ~20 TF/s; scripts/exp_text_chain.py). Because the
+    bucket matrix is known at trace time, the same select is a one-hot
+    matmul that rides the MXU: slice x to the used index window, build a
+    {0,1} constant [Q, W, K], contract over W. Each output row is
+    1.0·x[...] + zeros — exact, no rounding beyond the dot's f32 accumulate.
+
+    Falls back to take_along_axis when the one-hot constant would be
+    unreasonably large (long-T log-bucket regime; extraction runs T=80).
+    """
+    q_n, k_n = idx.shape
+    lo, hi = int(idx.min()), int(idx.max()) + 1
+    if q_n * (hi - lo) * k_n > max_onehot_elems:
+        return jnp.take_along_axis(x, jnp.asarray(idx)[None, None], axis=-1)
+    onehot = np.zeros((q_n, hi - lo, k_n), np.float32)
+    qq, kk = np.meshgrid(np.arange(q_n), np.arange(k_n), indexing="ij")
+    onehot[qq, idx - lo, kk] = 1.0
+    return jnp.einsum(
+        "...qs,qsk->...qk", x[..., lo:hi], jnp.asarray(onehot),
+        preferred_element_type=jnp.float32,
+    )
+
+
 class _DisentangledSelfAttention(nn.Module):
     config: DebertaV2Config
 
@@ -278,15 +306,13 @@ class _DisentangledSelfAttention(nn.Module):
         # c2p: score[q, k] += q_vec · pos_key[bucket(q-k)+S] / scale
         c2p = jnp.einsum("bhqd,hsd->bhqs", q, pos_k, preferred_element_type=jnp.float32)
         c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)  # [T, T]
-        c2p_g = jnp.take_along_axis(
-            c2p, jnp.asarray(c2p_idx)[None, None].repeat(1, axis=0), axis=-1
-        )
+        c2p_g = _gather_last_static(c2p, c2p_idx)
         scores = scores + c2p_g / scale
 
         # p2c: score[q, k] += k_vec · pos_query[S - bucket(k-q)]ᵀ / scale
         p2c = jnp.einsum("bhkd,hsd->bhks", k, pos_q, preferred_element_type=jnp.float32)
         p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)  # [T(k-as-q), T]
-        p2c_g = jnp.take_along_axis(p2c, jnp.asarray(p2c_idx)[None, None], axis=-1)
+        p2c_g = _gather_last_static(p2c, p2c_idx)
         scores = scores + jnp.swapaxes(p2c_g, -1, -2) / scale
 
         scores = jnp.where(pair_mask[:, None], scores, NEG_INF)

@@ -114,24 +114,32 @@ def bench_text(name, builder_cfg, batch, seq):
     mask = jnp.ones((batch, seq), jnp.float32)
     model, params = builder_cfg()
 
+    # The chain must CARRY a dependency between iterations: an earlier
+    # version accumulated only a scalar, the forward was loop-invariant,
+    # and XLA's while-loop LICM evaluated it ONCE — inflating seq/s ~6x
+    # (hoisting confirmed on-chip by scripts/exp_text_chain.py; r02's
+    # 7172/452 seq/s zoo rows were artifacts of this). ids are integral,
+    # so the delta is folded into the float attention mask instead
+    # (1.0 + ~1e-12 — numerically invisible, semantically a dependency).
     def fwd(p, i, m):
         return model.apply({"params": p}, i, m)["last_hidden_state"]
 
     @jax.jit
     def chained(params, ids, mask):
-        def body(i, acc):
-            out = fwd(params, ids, mask)
-            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-12
+        def body(i, m):
+            out = fwd(params, ids, m)
+            delta = jnp.sum(out.astype(jnp.float32)) * 1e-12
+            return m + delta
 
-        return jax.lax.fori_loop(0, 6, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, 6, body, mask)
 
     out = chained(params, ids, mask)
-    float(out)
+    float(jnp.sum(out))
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         out = chained(params, ids, mask)
-        float(out)
+        float(jnp.sum(out))
         best = min(best, time.perf_counter() - t0)
     print(f"{name}: {batch * 6 / best:.1f} seq/s/chip (B={batch}, {seq}-tok seqs)")
 

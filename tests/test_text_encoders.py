@@ -129,3 +129,34 @@ class TestDebertaV2Parity:
             ref.last_hidden_state.numpy()[0],
             atol=3e-4,
         )
+
+
+class TestGatherLastStatic:
+    """The one-hot-matmul static select must equal take_along_axis exactly
+    (it replaced a lane-dim gather that ran ~6 ms/layer on TPU — see
+    models/text.py:_gather_last_static)."""
+
+    def _check(self, t, span, buckets, max_pos, **kw):
+        from interspeech_ser_tpu.models.text import (
+            _gather_last_static,
+            _log_bucket_positions,
+        )
+
+        rel = _log_bucket_positions(t, buckets, max_pos)
+        idx = np.clip(rel + span, 0, 2 * span - 1)
+        x = jnp.asarray(RNG.normal(size=(2, 3, t, 2 * span)).astype(np.float32))
+        want = jnp.take_along_axis(x, jnp.asarray(idx)[None, None], axis=-1)
+        got = _gather_last_static(x, idx, **kw)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_linear_regime_matches_gather(self):
+        # T=80 production case: |q-k| < bucket/2, pure Toeplitz window
+        self._check(t=80, span=256, buckets=256, max_pos=512)
+
+    def test_log_bucket_regime_matches_gather(self):
+        # T > bucket/2 → log-bucketed (non-Toeplitz) indices
+        self._check(t=48, span=16, buckets=16, max_pos=128)
+
+    def test_fallback_path_is_gather(self):
+        # threshold forces the take_along_axis fallback; still exact
+        self._check(t=48, span=16, buckets=16, max_pos=128, max_onehot_elems=1)
