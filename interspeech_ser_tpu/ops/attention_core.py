@@ -145,6 +145,36 @@ def dot_product_attention_btd(
             attention_btd,
         )
 
+        # Experiment (SER_TPU_PAD_HEADS=1): zero-pad each head's lane
+        # slice to the 128-lane tile (hd=120 → 128 for w2v2-XLS-R-2B,
+        # where oneshot2 measured dead even vs XLA). Exact: padded q·k
+        # lanes contribute 0 to scores, padded v lanes produce 0 output
+        # columns that are sliced off; the MXU pads the contraction to
+        # 128 regardless, so the extra lanes cost only the reshape/pad
+        # data movement. Scale is resolved from the REAL hd first.
+        if (
+            os.environ.get("SER_TPU_PAD_HEADS") == "1"
+            and hd % 128 != 0
+            and k.shape[1] <= MAX_ONESHOT_TK
+        ):
+            hd_pad = ((hd + 127) // 128) * 128
+            real_scale = scale if scale is not None else 1.0 / (hd ** 0.5)
+
+            def pad_heads(x):
+                xh = x.reshape(B, x.shape[1], H, hd)
+                xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, hd_pad - hd)))
+                return xh.reshape(B, x.shape[1], H * hd_pad)
+
+            try:
+                out = attention_btd(
+                    pad_heads(q), pad_heads(k), pad_heads(v), num_heads,
+                    key_mask=key_mask, scale=real_scale,
+                    gate=gate, pos_bias=shared_bias,
+                )
+                out = out.reshape(B, Tq, H, hd_pad)[..., :hd]
+                return out.reshape(B, Tq, D)
+            except VmemBudgetError:
+                pass
         if k.shape[1] <= MAX_ONESHOT_TK:
             try:
                 return attention_btd(
