@@ -153,9 +153,13 @@ def _text_main(argv, family: str):
             return_tensors="np",
         )
 
+    # Batch size per on-chip sweep (scripts/bench_zoo.py, 80-tok seqs):
+    # deberta-v2-xxl peaks at B=32 (387 vs 344 seq/s at B=64 — the 48L
+    # stack's activations thrash at 64); roberta is flat 64-128.
     pipe = TextExtractionPipeline(
         model, params, tokenize,
         use_average=average, max_length=args.max_len, num_workers=args.num_workers,
+        batch_size=32 if family == "deberta" else 64,
     )
     stats = pipe.run(
         df["FileName"].tolist(), df["transcription"].tolist(), args.save_path
