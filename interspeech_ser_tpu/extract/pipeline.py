@@ -101,9 +101,12 @@ class SpeechExtractionPipeline:
         n_layer: int = -1,
         use_average: bool = False,
         do_normalize: bool = True,
-        token_budget: int = 16000 * 320,  # samples per batch (~320 s audio;
-        # 32 ten-second utts — measured 4% faster than 16 on v5e, fits HBM
-        # with margin even for w2v2-XLS-R-2B activations
+        token_budget: Optional[int] = None,  # samples per batch; None =
+        # size-aware default from hidden_size (v5e sweeps, 10-s utts):
+        #   ≤1024 (wavlm-large):  320 s ≈ B=32 (B32 297.4 > B16 by ~4%)
+        #   >1024 (hubert-XL 1280, w2v2-2B 1920): 160 s ≈ B=16
+        #     (hubert 133.2 @B16 vs 117.1 @B32 — the old fixed 320-s
+        #      budget cost 12%; w2v2 68.4 @B16 > 67.0 @B8 > 64.3 @B32)
         bucket_quantum: int = 16000,  # 1 s
         num_workers: int = 8,
         replicate_dir_count_bug: bool = False,
@@ -177,6 +180,8 @@ class SpeechExtractionPipeline:
         self.n_layer = n_layer
         self.use_average = use_average
         self.do_normalize = do_normalize
+        if token_budget is None:
+            token_budget = 16000 * (320 if config.hidden_size <= 1024 else 160)
         self.token_budget = token_budget
         self.bucket_quantum = bucket_quantum
         self.num_workers = num_workers

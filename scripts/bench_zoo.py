@@ -181,7 +181,7 @@ def main():
     # each arg is "family" or "family:batch" (batch override for sweeps)
     fams = sys.argv[1:] or ["wavlm", "hubert", "w2v2", "whisper", "roberta", "deberta"]
     defaults = {
-        "wavlm": 32, "hubert": 16, "w2v2": 8, "whisper": 8,
+        "wavlm": 32, "hubert": 16, "w2v2": 16, "whisper": 8,  # w2v2: 68.4 @B16 > 67.0 @B8 (r03 sweep)
         "roberta": 64, "deberta": 32,
     }
     for spec in fams:
