@@ -231,15 +231,37 @@ class BoundedWriter:
     def __init__(self, num_workers: int = 8, window: int = 64):
         self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
         self.sem = threading.Semaphore(window)
+        self.window = window
         self._futs: List[cf.Future] = []
+        self._first_err: Optional[BaseException] = None
+        self._err_lock = threading.Lock()
+
+    def _on_done(self, fut: cf.Future) -> None:
+        exc = fut.exception()
+        if exc is not None:
+            with self._err_lock:
+                if self._first_err is None:
+                    self._first_err = exc
+        self.sem.release()
 
     def submit(self, fn: Callable, *args) -> None:
+        # fail FAST: a persistent write failure (disk full, permissions)
+        # surfaces at the next submit, not hours later at final drain —
+        # extraction must not burn the whole corpus on the device first
+        if self._first_err is not None:
+            raise self._first_err
         self.sem.acquire()
         fut = self.pool.submit(fn, *args)
-        fut.add_done_callback(lambda _f: self.sem.release())
+        fut.add_done_callback(self._on_done)
         self._futs.append(fut)
+        # prune settled futures so the pending list stays O(window), not
+        # O(corpus) — this class exists to bound memory
+        if len(self._futs) > 2 * self.window:
+            self._futs = [f for f in self._futs if not f.done()]
 
     def drain(self) -> None:
         for f in self._futs:
             f.result()  # re-raises writer errors
         self._futs.clear()
+        if self._first_err is not None:
+            raise self._first_err

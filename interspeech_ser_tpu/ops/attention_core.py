@@ -14,8 +14,10 @@ Bias comes FACTORED: ``gate [B,H,Tq]`` × ``shared_bias [H,Tq,Tk]``
 (WavLM's gated relative position bias, reference semantics in
 models/speech.py). Plain additive bias is the special case gate=1.
 
-Softmax and score accumulation run in float32 regardless of compute dtype
-(bf16-safe; SURVEY.md §7 hard part 3).
+The softmax always runs in float32; in bf16 mode the score/bias chain
+before it deliberately stays bf16 (measured parity holds — see
+dot_product_attention's acc_t), while f32 mode is exact end-to-end
+(SURVEY.md §7 hard part 3).
 """
 
 from __future__ import annotations
@@ -69,6 +71,26 @@ def under_manual_axis(axis: str = "data") -> bool:
         return False
 
 
+def _measured_kernel_choice(
+    allow_kernel: bool, allow_train_kernel: bool, tk: int
+) -> str:
+    """Which measured-default kernel a bf16 single-device/shard path gets.
+
+    Ordering matters: a path that may be differentiated
+    (``allow_train_kernel``) must NEVER get the no-vjp inference kernel —
+    a config carrying both opt-ins (e.g. an extraction config handed to a
+    fine-tune engine) would otherwise crash jax.grad with
+    'differentiation rule for pallas_call not implemented'. So the
+    differentiable pair is considered first, and when it is Tk-gated off
+    the path falls back to XLA, not to the inference kernel.
+    """
+    if allow_train_kernel:
+        return "oneshot2_train" if tk >= TRAIN_KERNEL_MIN_TK else "xla"
+    if allow_kernel:
+        return "oneshot2"
+    return "xla"
+
+
 def dot_product_attention_btd(
     q: jnp.ndarray,  # [B, Tq, D] — projection layout, D = H * hd
     k: jnp.ndarray,  # [B, Tk, D]
@@ -112,32 +134,23 @@ def dot_product_attention_btd(
     impl = pick_impl(Tq, k.shape[1], force_impl)
     if (
         impl == "xla"
-        and allow_kernel
         and force_impl is None
         and os.environ.get("SER_TPU_ATTN_IMPL") is None
         and q.dtype == jnp.bfloat16
         and jax.default_backend() not in ("cpu",)
         and (len(jax.devices()) == 1 or under_manual_axis())
     ):
-        # measured default: the one-shot [B,T,D] kernel wins WavLM-large
-        # extraction 274.2 vs 252.9 utt/s on v5e (scripts/exp_attn_btd.py).
-        # Single device, or per-shard under shard_map (where the custom
-        # call is local compute) — plain GSPMD-sharded meshes keep XLA
-        # because a Pallas call does not auto-partition there.
-        impl = "oneshot2"
-    if (
-        impl == "xla"
-        and allow_train_kernel
-        and force_impl is None
-        and os.environ.get("SER_TPU_ATTN_IMPL") is None
-        and q.dtype == jnp.bfloat16
-        and k.shape[1] >= TRAIN_KERNEL_MIN_TK
-        and jax.default_backend() not in ("cpu",)
-        and (len(jax.devices()) == 1 or under_manual_axis())
-    ):
-        # measured default: differentiable pair wins whisper fine-tune
-        # 1.279x at Tk=1500 but loses wavlm 0.962x at Tk=599 — Tk-gated.
-        impl = "oneshot2_train"
+        # Measured defaults (single device, or per-shard under shard_map
+        # where the custom call is local compute; plain GSPMD-sharded
+        # meshes keep XLA because a Pallas call does not auto-partition):
+        # - oneshot2 wins WavLM-large extraction 274.2 vs 252.9 utt/s
+        #   (scripts/exp_attn_btd.py);
+        # - the differentiable pair wins whisper fine-tune 1.279x at
+        #   Tk=1500 but loses wavlm 0.962x at Tk=599 — Tk-gated
+        #   (scripts/exp_attn_bwd.py).
+        impl = _measured_kernel_choice(
+            allow_kernel, allow_train_kernel, k.shape[1]
+        )
     if impl == "oneshot2":
         from .pallas.flash_attention_short import (
             MAX_ONESHOT_TK,

@@ -295,11 +295,23 @@ def oneshot_attention_train(
     nondiff args are concrete, then dispatches to ``attention_btd_diff``.
     Raises ``VmemBudgetError`` (trace time) when either direction cannot
     be blocked; callers fall back to the XLA path."""
-    D = q.shape[-1]
+    B, Tq, D = q.shape
     if scale is None:
         scale = (D // num_heads) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # Budget-check BOTH directions here, not only under differentiation:
+    # a non-differentiated call (eval forward of a train_kernels config)
+    # at Tk > MAX_ONESHOT_TK would otherwise hit attention_btd's plain
+    # assert, bypassing the documented VmemBudgetError -> XLA fallback.
+    attention_btd_bwd_budget_check(
+        B, Tq, k.shape[1], D, num_heads, q.dtype.itemsize, pos_bias is not None
+    )
+    # The custom_vjp returns zeros_like(key_mask) as its cotangent; for a
+    # bool/int mask JAX would demand float0 instead and jax.grad errors.
+    # The kernels only test mask > 0, so a float cast is exact.
+    if key_mask is not None and not jnp.issubdtype(key_mask.dtype, jnp.floating):
+        key_mask = key_mask.astype(jnp.float32)
     return attention_btd_diff(
         q, k, v, num_heads, float(scale), bool(interpret), key_mask, gate,
         pos_bias,

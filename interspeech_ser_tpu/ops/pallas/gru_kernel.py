@@ -474,7 +474,7 @@ def gru_sequence_bidir(
     w_hh2: jnp.ndarray,  # [2, H, 3H]
     b_hh2: jnp.ndarray,  # [2, 3H]
     mask: jnp.ndarray,  # [2B, T]
-    half: int,  # B (kept for call-site clarity; derived internally)
+    half: int,  # B — validated against x_proj (the kernel derives it)
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Both GRU directions in ONE sequential-grid kernel → [2B, T, H],
@@ -483,6 +483,15 @@ def gru_sequence_bidir(
     The recurrence is latency-bound; stacking the directions doubles the
     per-step MXU work at the same step latency.
     """
-    del half
+    if x_proj.shape[0] != 2 * half:
+        raise ValueError(
+            f"x_proj rows ({x_proj.shape[0]}) must be 2*half ({2 * half}): "
+            "rows [:half] forward, [half:] time-reversed backward"
+        )
+    # the vjp returns zeros_like(mask) as its cotangent; a bool/int mask
+    # would demand a float0 cotangent and crash jax.grad — the kernel only
+    # scales/compares, so a float cast is exact
+    if not jnp.issubdtype(mask.dtype, jnp.floating):
+        mask = mask.astype(jnp.float32)
     h = gru_bidir_carries(x_proj, w_hh2, b_hh2, mask, interpret)
     return h * mask.astype(h.dtype)[:, :, None]

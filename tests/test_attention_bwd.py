@@ -139,3 +139,63 @@ class TestOneshotAttentionBackward:
         q = jnp.zeros((1, 4096, 64), jnp.float32)
         with pytest.raises((VmemBudgetError, AssertionError)):
             oneshot_attention_train(q, q, q, 4, interpret=True)
+
+
+class TestKernelChoiceOrdering:
+    """A differentiable path must never receive the no-vjp inference
+    kernel (attention_core review fix)."""
+
+    def test_train_flag_shadows_inference_kernel(self):
+        from interspeech_ser_tpu.ops.attention_core import (
+            TRAIN_KERNEL_MIN_TK,
+            _measured_kernel_choice,
+        )
+
+        # both opt-ins set: long Tk gets the differentiable pair, short
+        # Tk falls back to XLA — NEVER the no-vjp oneshot2
+        assert _measured_kernel_choice(True, True, TRAIN_KERNEL_MIN_TK) == "oneshot2_train"
+        assert _measured_kernel_choice(True, True, 599) == "xla"
+        assert _measured_kernel_choice(False, True, 599) == "xla"
+        # inference-only configs keep the measured oneshot2 default
+        assert _measured_kernel_choice(True, False, 599) == "oneshot2"
+        assert _measured_kernel_choice(False, False, 9999) == "xla"
+
+    def test_bool_mask_is_differentiable(self):
+        """zeros_like cotangent on a bool mask would crash jax.grad; the
+        public wrapper casts to float (attention_bwd review fix)."""
+        from interspeech_ser_tpu.ops.pallas.attention_bwd import (
+            oneshot_attention_train,
+        )
+
+        rng = np.random.default_rng(3)
+        B, T, D, H = 2, 16, 32, 2
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+            for _ in range(3)
+        )
+        mask = jnp.asarray(rng.random((B, T)) > 0.3)  # bool
+
+        def loss(q):
+            return jnp.sum(oneshot_attention_train(q, k, v, H, key_mask=mask) ** 2)
+
+        g = jax.grad(loss)(q)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_oversize_tk_raises_budget_error_without_grad(self):
+        """Tk > MAX_ONESHOT_TK on a plain (non-differentiated) forward
+        must raise VmemBudgetError so callers fall back to XLA, not an
+        AssertionError (attention_bwd review fix)."""
+        from interspeech_ser_tpu.ops.pallas.attention_bwd import (
+            oneshot_attention_train,
+        )
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import (
+            MAX_ONESHOT_TK,
+            VmemBudgetError,
+        )
+
+        B, Tk, D, H = 1, MAX_ONESHOT_TK + 128, 128, 2
+        q = jnp.zeros((B, 8, D), jnp.float32)
+        k = jnp.zeros((B, Tk, D), jnp.float32)
+        v = jnp.zeros((B, Tk, D), jnp.float32)
+        with pytest.raises(VmemBudgetError):
+            oneshot_attention_train(q, k, v, H)

@@ -197,3 +197,29 @@ class TestProfilingTrace:
         with profiling.trace(off_dir):
             pass
         assert not os.path.exists(off_dir)
+
+
+class TestBoundedWriterFailFast:
+    def test_error_surfaces_at_next_submit(self):
+        """A persistent write failure must stop extraction at the next
+        submit, not hours later at final drain (streaming.py review fix)."""
+        w = streaming.BoundedWriter(num_workers=1, window=2)
+
+        def boom():
+            raise IOError("disk full")
+
+        w.submit(boom)
+        with pytest.raises(IOError):
+            # the failing future settles asynchronously; submitting keeps
+            # re-checking and must raise within a bounded number of tries
+            for _ in range(200):
+                w.submit(time.sleep, 0.005)
+                time.sleep(0.005)
+            pytest.fail("writer error never surfaced at submit()")
+
+    def test_pending_list_stays_bounded(self):
+        w = streaming.BoundedWriter(num_workers=4, window=4)
+        for _ in range(200):
+            w.submit(lambda: None)
+        assert len(w._futs) <= 3 * w.window  # pruned, not O(corpus)
+        w.drain()
