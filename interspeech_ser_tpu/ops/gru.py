@@ -25,12 +25,36 @@ Reference model usage: bin/train_cat_bimodal_lazy_1head.py:255-266.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time mesh context for the fused-kernel path. A Pallas custom call
+# does not auto-partition under GSPMD jit, so on a >1-device mesh the
+# kernel body must run per-shard. Engines that jit a *global* (GSPMD)
+# train step activate this context around tracing; BiGRU then wraps the
+# kernel call in a nested ``jax.shard_map`` over the mesh's 'data' axis —
+# exact for the GRU (a per-sample op along batch), and differentiable:
+# shard_map's transpose psums the replicated recurrent-weight cotangents.
+_KERNEL_MESH_STACK: list = []
+
+
+@contextlib.contextmanager
+def gru_kernel_mesh(mesh):
+    """Activate ``mesh`` for BiGRU's fused-kernel path during tracing."""
+    _KERNEL_MESH_STACK.append(mesh)
+    try:
+        yield
+    finally:
+        _KERNEL_MESH_STACK.pop()
+
+
+def _active_kernel_mesh():
+    return _KERNEL_MESH_STACK[-1] if _KERNEL_MESH_STACK else None
 
 
 def gru_scan(
@@ -234,15 +258,39 @@ class BiGRU(nn.Module):
             xp_f = proj(x, params["fwd"][0], params["fwd"][2])
             xp_b = proj(x, params["bwd"][0], params["bwd"][2])[:, ::-1]
             m_b = m[:, ::-1]
-            xp = jnp.concatenate([xp_f, xp_b], axis=0)  # [2B, T, 3H]
-            mm = jnp.concatenate([m, m_b], axis=0)
             from .pallas.gru_kernel import gru_sequence_bidir
 
             w_hh2 = jnp.stack([params["fwd"][1], params["bwd"][1]])  # [2, H, 3H]
             b_hh2 = jnp.stack([params["fwd"][3], params["bwd"][3]])
-            out = gru_sequence_bidir(xp, w_hh2, b_hh2, mm, B)
-            fwd_o, bwd_o = out[:B], out[B:, ::-1]
-            return jnp.concatenate([fwd_o, bwd_o], axis=-1)
+
+            def run_local(xp_f_, xp_b_, m_f_, m_b_, w_, b_):
+                # per-shard body: concat directions along batch, one kernel
+                # call, split + un-reverse. Batch-local math throughout, so
+                # a sharded run equals the single-device call row-for-row.
+                half = xp_f_.shape[0]
+                xp = jnp.concatenate([xp_f_, xp_b_], axis=0)  # [2b, T, 3H]
+                mm = jnp.concatenate([m_f_, m_b_], axis=0)
+                out = gru_sequence_bidir(xp, w_, b_, mm, half)
+                return jnp.concatenate([out[:half], out[half:, ::-1]], axis=-1)
+
+            mesh = _active_kernel_mesh()
+            if mesh is not None and mesh.size > 1:
+                # nested shard_map: the surrounding train step stays GSPMD
+                # (global loss/optimizer math untouched); only the Pallas
+                # recurrence runs per-shard over the data axis. Replicated
+                # w_hh2/b_hh2 cotangents are psum'd by shard_map's transpose
+                # (gradient 1-dev == n-dev parity tested in
+                # tests/test_e2e_fusion.py::TestKernelDataParallel).
+                from jax.sharding import PartitionSpec as P
+
+                run = jax.shard_map(
+                    run_local, mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P("data"), P(), P()),
+                    out_specs=P("data"), check_vma=False,
+                )
+            else:
+                run = run_local
+            return run(xp_f, xp_b, m, m_b, w_hh2, b_hh2)
 
         # direction-stacked single scan: numerically identical, halves the
         # sequential step count. Opt-in until the hardware A/B

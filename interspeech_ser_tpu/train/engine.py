@@ -49,6 +49,7 @@ import pandas as pd
 
 from ..models.convert_fusion import flax_to_torch, torch_to_flax
 from ..models.fusion import MultiModalEmotionClassifier
+from ..ops.gru import gru_kernel_mesh
 from ..parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
 from ..utils import labels as L
 from ..utils import ptio
@@ -299,12 +300,17 @@ class FusionEngine:
         # at production bs64 (scripts/exp_gru_train.py r03c — the earlier
         # 31.0 ms "negative" was kernel-fwd + hand-SCAN-bwd; the Pallas
         # backward itself had never compiled until its scoped-VMEM limit
-        # was raised). Training rides jit + NamedSharding on multi-device
-        # meshes, where a Pallas call does not auto-partition — so the
-        # training default engages single-device only.
-        if jax.default_backend() != "tpu":
-            return False
-        return (not training) or self.mesh.size == 1
+        # was raised). On multi-device meshes the GSPMD train step can't
+        # partition a Pallas custom call directly, so the train-step trace
+        # activates ops.gru.gru_kernel_mesh and BiGRU wraps the kernel in
+        # a nested shard_map over the data axis (exact + differentiable;
+        # tests/test_e2e_fusion.py::TestKernelDataParallel).
+        # SER_TPU_GRU_KERNEL=1/0 forces the decision (1 uses Pallas
+        # interpret mode off-TPU — for tests; 0 restores the lax.scan).
+        env = os.environ.get("SER_TPU_GRU_KERNEL")
+        if env is not None:
+            return env == "1"
+        return jax.default_backend() == "tpu"
 
     def _loss_terms(self, params, batch_dev, dropout_key, class_w, deterministic,
                     use_gru_kernel=False):
@@ -391,7 +397,11 @@ class FusionEngine:
                     use_gru_kernel=use_gru_kernel,
                 )
 
-            (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # trace-time context: on a >1-device mesh, BiGRU's kernel path
+            # nests a shard_map over 'data' so the Pallas call partitions
+            # while the loss/optimizer math stays GSPMD-global.
+            with gru_kernel_mesh(self.mesh if use_gru_kernel else None):
+                (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -606,7 +616,8 @@ class FusionEngine:
                     use_gru_kernel=use_gru_kernel,
                 )
 
-            (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            with gru_kernel_mesh(self.mesh if use_gru_kernel else None):
+                (backward, (ce, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, backward, ce
 
         def apply_step(params, opt_state, grads, lr, scale):

@@ -145,3 +145,118 @@ class TestEndToEnd:
             str(fixture_dir / "exp_rank" / "multimodal_ser.pt"), weights_only=True
         )
         assert "neutral_classifier.0.weight" in sd
+
+
+class TestKernelDataParallel:
+    """Nested shard_map GRU-kernel path (ops/gru.py gru_kernel_mesh).
+
+    A Pallas custom call does not partition under GSPMD jit, so the train
+    step wraps ONLY the recurrence in a per-shard shard_map while loss and
+    optimizer math stay global. These tests pin (a) value+grad parity of
+    that wrap against the plain single-device kernel call and (b) the
+    full engine trajectory at mesh=8 vs mesh=1 with the kernel forced on
+    (interpret-mode Pallas on CPU).
+    """
+
+    def test_grad_parity_nested_shardmap(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from interspeech_ser_tpu.models.fusion import MultiModalEmotionClassifier
+        from interspeech_ser_tpu.ops.gru import gru_kernel_mesh
+        from interspeech_ser_tpu.train.losses import weighted_cross_entropy
+
+        model = MultiModalEmotionClassifier(feat_dims=(12, 8), fusion_hidden_dim=8)
+        rng = np.random.default_rng(5)
+        B = 16
+        feats = [
+            jnp.asarray(rng.normal(size=(B, 10, 12)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(B, 6, 8)).astype(np.float32)),
+        ]
+        masks = [
+            jnp.asarray((rng.random((B, 10)) > 0.2).astype(np.float32)),
+            jnp.ones((B, 6), jnp.float32),
+        ]
+        labels = jnp.asarray(rng.integers(0, 8, B))
+        params = model.init(jax.random.PRNGKey(0), feats, masks=masks)["params"]
+
+        def loss(params, feats, masks, labels):
+            logits = model.apply(
+                {"params": params}, feats, masks=masks, use_gru_kernel=True
+            )
+            return weighted_cross_entropy(logits, labels)
+
+        ref_v, ref_g = jax.jit(jax.value_and_grad(loss))(params, feats, masks, labels)
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        bsh = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+        repl = NamedSharding(mesh, P())
+        params_s = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+        feats_s = [jax.device_put(f, bsh(3)) for f in feats]
+        masks_s = [jax.device_put(m, bsh(2)) for m in masks]
+        labels_s = jax.device_put(labels, bsh(1))
+
+        def loss_mesh(params, feats, masks, labels):
+            with gru_kernel_mesh(mesh):
+                return loss(params, feats, masks, labels)
+
+        sh_v, sh_g = jax.jit(jax.value_and_grad(loss_mesh))(
+            params_s, feats_s, masks_s, labels_s
+        )
+        np.testing.assert_allclose(float(sh_v), float(ref_v), rtol=1e-5)
+        flat_r, flat_s = jax.tree.leaves(ref_g), jax.tree.leaves(sh_g)
+        maxdiff = max(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(flat_r, flat_s)
+        )
+        # the replicated w_hh/b_hh cotangents come back through shard_map's
+        # transpose psum — any missing psum would be off by ~8x, not eps
+        assert maxdiff < 1e-5, maxdiff
+
+    def test_engine_trajectory_mesh8_matches_single_device(
+        self, fixture_dir, monkeypatch, tmp_path
+    ):
+        import dataclasses
+
+        import jax
+
+        monkeypatch.setenv("SER_TPU_GRU_KERNEL", "1")
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils import labels as L2
+        from interspeech_ser_tpu.utils.config import load_fusion_config
+
+        cfg = load_fusion_config(str(fixture_dir / "config.json"))
+        df = L2.load_merged(cfg.label_path, cfg.txt_dir)
+        train_df, val_df = L2.split(df, "Train"), L2.split(df, "Development")
+
+        runs = {}
+        for nd in (1, 8):
+            cfg_nd = dataclasses.replace(
+                cfg, model_path=str(tmp_path / f"exp_kdp{nd}")
+            )
+            eng = FusionEngine(cfg_nd, seed=11, options=EngineOptions(n_devices=nd))
+            eng.init_params()
+            best = eng.fit(train_df, val_df, stop_after_epoch=1)
+            runs[nd] = (best, jax.tree.map(np.asarray, eng.params))
+
+        b1, p1 = runs[1]
+        b8, p8 = runs[8]
+        assert b1["macro_f1"] == b8["macro_f1"]
+        flat1 = jax.tree_util.tree_leaves_with_path(p1)
+        flat8 = jax.tree_util.tree_leaves_with_path(p8)
+        # f32 reduction-order noise only (grad all-reduce + loss mean order
+        # differ between mesh sizes); bit-level parity of the nested wrap
+        # itself is pinned by test_grad_parity_nested_shardmap. The
+        # *_pool_attn.bias scalars are excluded: a constant added to the
+        # pooling scores BEFORE softmax is shift-invariant, so their true
+        # gradient is zero and Adam's g/sqrt(v) normalization amplifies
+        # pure float noise into O(1e-3) walk — degenerate by construction
+        # (mirrors the reference's nn.Linear(hidden, 1) pool scorer).
+        for (path1, a), (_, b) in zip(flat1, flat8):
+            if "pool_attn" in jax.tree_util.keystr(path1) and a.size == 1:
+                continue
+            np.testing.assert_allclose(
+                a, b, atol=1e-3, rtol=1e-2,
+                err_msg=jax.tree_util.keystr(path1),
+            )
