@@ -28,6 +28,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .kernel_context import active_kernel_mesh
+
 NEG_INF = -1e30
 
 # Minimum key length for the differentiable one-shot pair to engage as a
@@ -138,7 +140,6 @@ def dot_product_attention_btd(
         and os.environ.get("SER_TPU_ATTN_IMPL") is None
         and q.dtype == jnp.bfloat16
         and jax.default_backend() not in ("cpu",)
-        and (len(jax.devices()) == 1 or under_manual_axis())
     ):
         # Measured defaults (single device, or per-shard under shard_map
         # where the custom call is local compute; plain GSPMD-sharded
@@ -148,9 +149,17 @@ def dot_product_attention_btd(
         # - the differentiable pair wins whisper fine-tune 1.279x at
         #   Tk=1500 but loses wavlm 0.962x at Tk=599 — Tk-gated
         #   (scripts/exp_attn_bwd.py).
-        impl = _measured_kernel_choice(
-            allow_kernel, allow_train_kernel, k.shape[1]
-        )
+        if len(jax.devices()) == 1 or under_manual_axis():
+            impl = _measured_kernel_choice(
+                allow_kernel, allow_train_kernel, k.shape[1]
+            )
+        elif allow_train_kernel and active_kernel_mesh() is not None:
+            # GSPMD train step with an active kernel-mesh context
+            # (ops/kernel_context.py): only the DIFFERENTIABLE pair may
+            # engage — it gets a nested shard_map wrap below. The no-vjp
+            # inference kernel never engages here (an unwrapped Pallas
+            # call cannot partition under GSPMD).
+            impl = _measured_kernel_choice(False, True, k.shape[1])
     if impl == "oneshot2":
         from .pallas.flash_attention_short import (
             MAX_ONESHOT_TK,
@@ -206,6 +215,27 @@ def dot_product_attention_btd(
         from .pallas.flash_attention_short import VmemBudgetError
 
         try:
+            mesh = active_kernel_mesh()
+            if mesh is not None and mesh.size > 1 and not under_manual_axis():
+                # GSPMD surroundings: run the pair per-shard over 'data'.
+                # q/k/v/mask/gate are per-sample along batch; the shared
+                # [H, Tq, Tk] bias is replicated and its cotangent comes
+                # back through shard_map's transpose psum (parity pinned
+                # in tests/test_attention_bwd.py::TestNestedShardMap).
+                from jax.sharding import PartitionSpec as P
+
+                def _local(q_, k_, v_, mask_, gate_, bias_):
+                    return oneshot_attention_train(
+                        q_, k_, v_, num_heads, key_mask=mask_, scale=scale,
+                        gate=gate_, pos_bias=bias_,
+                    )
+
+                return jax.shard_map(
+                    _local, mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P("data"),
+                              P("data"), P()),
+                    out_specs=P("data"), check_vma=False,
+                )(q, k, v, key_mask, gate, shared_bias)
             return oneshot_attention_train(
                 q, k, v, num_heads, key_mask=key_mask, scale=scale,
                 gate=gate, pos_bias=shared_bias,

@@ -25,7 +25,6 @@ Reference model usage: bin/train_cat_bimodal_lazy_1head.py:255-266.
 
 from __future__ import annotations
 
-import contextlib
 import os
 from typing import Optional
 
@@ -33,28 +32,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Trace-time mesh context for the fused-kernel path. A Pallas custom call
-# does not auto-partition under GSPMD jit, so on a >1-device mesh the
-# kernel body must run per-shard. Engines that jit a *global* (GSPMD)
-# train step activate this context around tracing; BiGRU then wraps the
-# kernel call in a nested ``jax.shard_map`` over the mesh's 'data' axis —
-# exact for the GRU (a per-sample op along batch), and differentiable:
+# Trace-time mesh context (shared with attention — see
+# ops/kernel_context.py): on a >1-device mesh BiGRU wraps the Pallas
+# recurrence in a nested ``jax.shard_map`` over the 'data' axis — exact
+# for the GRU (a per-sample op along batch), and differentiable:
 # shard_map's transpose psums the replicated recurrent-weight cotangents.
-_KERNEL_MESH_STACK: list = []
-
-
-@contextlib.contextmanager
-def gru_kernel_mesh(mesh):
-    """Activate ``mesh`` for BiGRU's fused-kernel path during tracing."""
-    _KERNEL_MESH_STACK.append(mesh)
-    try:
-        yield
-    finally:
-        _KERNEL_MESH_STACK.pop()
-
-
-def _active_kernel_mesh():
-    return _KERNEL_MESH_STACK[-1] if _KERNEL_MESH_STACK else None
+from .kernel_context import active_kernel_mesh as _active_kernel_mesh
+from .kernel_context import kernel_mesh as gru_kernel_mesh  # back-compat name
 
 
 def gru_scan(

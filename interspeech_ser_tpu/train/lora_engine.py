@@ -29,6 +29,7 @@ import optax
 from flax import linen as nn
 
 from ..models import lora as lora_lib
+from ..ops.kernel_context import kernel_mesh
 from ..utils import ptio
 from ..utils.metrics import accuracy
 from . import losses
@@ -175,10 +176,11 @@ class LoRAFTEngine:
             )
             hidden = self.cfg.hidden_size
         # data-parallel over the mesh (GSPMD jit): batches sharded along
-        # rows, base/LoRA/head replicated, grad all-reduce by XLA. On a
-        # multi-device mesh the whisper train-kernel pair self-gates back
-        # to XLA (attention_core: Pallas engages single-device/shard_map
-        # only); one chip keeps the measured 1.28-1.56x kernel default.
+        # rows, base/LoRA/head replicated, grad all-reduce by XLA. The
+        # train step traces under ops.kernel_context.kernel_mesh, so on a
+        # multi-device mesh the whisper train-kernel pair engages through
+        # attention_core's nested per-shard shard_map (same measured
+        # 1.28-1.56x default as one chip) instead of self-gating to XLA.
         self.mesh = make_mesh(n_devices)
         self.n_data = self.mesh.shape["data"]
         self.rank, self.alpha = rank, alpha
@@ -259,7 +261,11 @@ class LoRAFTEngine:
                 )
                 return losses.weighted_cross_entropy(logits, y, cw, smask)
 
-            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            # trace-time context: on a >1-device mesh attention_core wraps
+            # the differentiable Pallas pair in a nested shard_map over
+            # 'data' (ops/kernel_context.py) — GSPMD math stays global
+            with kernel_mesh(self.mesh):
+                loss, grads = jax.value_and_grad(loss_fn)(trainable)
             opt_state.hyperparams["learning_rate"] = lr_now
             updates, opt_state = tx.update(grads, opt_state, trainable)
             return optax.apply_updates(trainable, updates), opt_state, loss
@@ -331,9 +337,15 @@ class LoRAFTEngine:
                 mask[r, : len(w)] = 1
             sig = wav.shape
             if sig not in fwd_jit:
-                fwd_jit[sig] = jax.jit(
-                    lambda b, l, h, w, m: self._forward(b, l, h, w, m, True)
-                )
+
+                def _fwd(b, l, h, w, m):
+                    # same trace-time context as the train step: on a
+                    # >1-device mesh the whisper attention pair engages
+                    # per-shard instead of self-gating to XLA
+                    with kernel_mesh(self.mesh):
+                        return self._forward(b, l, h, w, m, True)
+
+                fwd_jit[sig] = jax.jit(_fwd)
             wav_d, mask_d = shard_batch(self.mesh, (wav, mask))
             logits = np.asarray(fwd_jit[sig](base, lora, head, wav_d, mask_d))
             preds[s : s + len(chunk)] = np.argmax(logits[: len(chunk)], axis=1)

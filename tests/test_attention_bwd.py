@@ -199,3 +199,64 @@ class TestKernelChoiceOrdering:
         v = jnp.zeros((B, Tk, D), jnp.float32)
         with pytest.raises(VmemBudgetError):
             oneshot_attention_train(q, k, v, H)
+
+
+class TestNestedShardMap:
+    """attention_core's nested shard_map wrap of the differentiable pair.
+
+    Under an active ops.kernel_context mesh (set by GSPMD train steps),
+    the 'oneshot2_train' branch runs the pair per-shard over 'data'.
+    Value and every cotangent — including the REPLICATED [H,Tq,Tk] shared
+    bias, whose gradient must come back through shard_map's transpose
+    psum — must match the plain single-device call.
+    """
+
+    def test_value_and_grad_parity(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from interspeech_ser_tpu.ops.attention_core import (
+            dot_product_attention_btd,
+        )
+        from interspeech_ser_tpu.ops.kernel_context import kernel_mesh
+
+        B, Tq, D, H = 8, 24, 32, 4
+        q = jnp.asarray(RNG.normal(size=(B, Tq, D)).astype(np.float32))
+        k = jnp.asarray(RNG.normal(size=(B, Tq, D)).astype(np.float32))
+        v = jnp.asarray(RNG.normal(size=(B, Tq, D)).astype(np.float32))
+        gate = jnp.asarray(RNG.normal(size=(B, H, Tq)).astype(np.float32))
+        bias = jnp.asarray(RNG.normal(size=(H, Tq, Tq)).astype(np.float32))
+        lengths = RNG.integers(8, Tq + 1, B)
+        key_mask = jnp.asarray(
+            (np.arange(Tq)[None, :] < lengths[:, None]).astype(np.float32)
+        )
+        w = jnp.asarray(RNG.normal(size=(B, Tq, D)).astype(np.float32))
+
+        def loss(q, k, v, gate, bias):
+            out = dot_product_attention_btd(
+                q, k, v, H, key_mask=key_mask, gate=gate, shared_bias=bias,
+                force_impl="oneshot2_train",
+            )
+            return jnp.sum(out * w)
+
+        ref_v, ref_g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))(
+            q, k, v, gate, bias
+        )
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        bsh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+
+        def loss_mesh(q, k, v, gate, bias):
+            with kernel_mesh(mesh):
+                return loss(q, k, v, gate, bias)
+
+        sh_v, sh_g = jax.jit(jax.value_and_grad(loss_mesh, argnums=(0, 1, 2, 3, 4)))(
+            jax.device_put(q, bsh), jax.device_put(k, bsh),
+            jax.device_put(v, bsh), jax.device_put(gate, bsh),
+            jax.device_put(bias, repl),
+        )
+        np.testing.assert_allclose(float(sh_v), float(ref_v), rtol=1e-5)
+        for name, a, b in zip(["q", "k", "v", "gate", "bias"], ref_g, sh_g):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5, err_msg=name
+            )
