@@ -257,8 +257,14 @@ class BiGRU(nn.Module):
                 out = gru_sequence_bidir(xp, w_, b_, mm, half)
                 return jnp.concatenate([out[:half], out[half:, ::-1]], axis=-1)
 
+            from .attention_core import under_manual_axis
+
             mesh = _active_kernel_mesh()
-            if mesh is not None and mesh.size > 1:
+            if mesh is not None and mesh.size > 1 and not under_manual_axis():
+                # (the under_manual_axis guard mirrors attention_core's: if a
+                # caller is already tracing per-shard inside a shard_map, the
+                # kernel is plain local compute — nesting another shard_map
+                # over 'data' would fail.)
                 # nested shard_map: the surrounding train step stays GSPMD
                 # (global loss/optimizer math untouched); only the Pallas
                 # recurrence runs per-shard over the data axis. Replicated

@@ -307,6 +307,16 @@ class FusionEngine:
         # tests/test_e2e_fusion.py::TestKernelDataParallel).
         # SER_TPU_GRU_KERNEL=1/0 forces the decision (1 uses Pallas
         # interpret mode off-TPU — for tests; 0 restores the lax.scan).
+        # TRAINING on a >1-device mesh additionally requires the train batch
+        # (padded to exactly cfg.batch_size) to divide the mesh — the nested
+        # shard_map otherwise raises on uneven shards. predict() rounds its
+        # batch up to a mesh multiple, so eval is always safe.
+        if (
+            training
+            and self.mesh.size > 1
+            and self.cfg.batch_size % self.mesh.size != 0
+        ):
+            return False
         env = os.environ.get("SER_TPU_GRU_KERNEL")
         if env is not None:
             return env == "1"

@@ -1,0 +1,186 @@
+"""HLO-level collective audit: the multi-chip paths must COMMUNICATE.
+
+The multichip value-equality tests (1-dev == N-dev trajectories,
+tests/test_multichip.py, tests/test_e2e_fusion.py) cannot distinguish a
+genuinely communicating mesh program from a silently fully-replicated one —
+both produce identical numbers. These tests compile the production steps
+over the virtual 8-device CPU mesh and assert the optimized HLO contains
+the collectives the sharding story promises, with the volumes it promises:
+
+  (a) the GSPMD data-parallel fusion train step all-reduces AT LEAST the
+      full gradient volume (every parameter's grad crosses shards once);
+  (b) the tp=2 extraction leg actually partitions the megatron FFN matmuls
+      (per-device FFN kernel parameter shapes are halved; the row-parallel
+      partial products are all-reduced);
+  (c) the nested-shard_map GRU kernel site emits the transpose psum for
+      the replicated w_hh/b_hh cotangents (the all-reduce volume accounts
+      for every GRU parameter).
+
+Reference context: SURVEY.md §2.9 — the reference is single-GPU; the DP
+grad all-reduce over ICI is the distributed story being proven here.
+"""
+
+import re
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from interspeech_ser_tpu.parallel.audit import (
+    collective_audit,
+    lower_fusion_train_step,
+    param_elements,
+)
+from interspeech_ser_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
+)
+
+
+class TestDataParallelCollectives:
+    def test_train_step_allreduces_full_grad_volume(self, monkeypatch):
+        """The jitted DP train step must all-reduce >= one full grad set."""
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils.config import FusionConfig
+
+        monkeypatch.setenv("SER_TPU_GRU_KERNEL", "0")  # plain GSPMD scan path
+        cfg = FusionConfig(
+            wav_dir="", txt_dir="", lazy_dir1="", lazy_dir2="", label_path="",
+            feat1_dim=24, feat2_dim=16, epochs=1, lr=1e-4,
+            model_path=tempfile.mkdtemp(), batch_size=16, accum_step=1,
+            fusion_hidden_dim=16,
+        )
+        eng = FusionEngine(cfg, options=EngineOptions(n_devices=8))
+        txt = lower_fusion_train_step(eng)
+        audit = collective_audit(txt)
+        n_params = param_elements(eng.params)
+        assert audit["all-reduce"]["count"] >= 1, "DP step emitted NO all-reduce"
+        # every parameter's gradient must cross the mesh at least once
+        # (measured: ~2.7x — XLA also all-reduces some backward intermediates)
+        assert audit["all-reduce"]["elements"] >= n_params, (
+            f"all-reduce volume {audit['all-reduce']['elements']} < "
+            f"param count {n_params}: grads are not being averaged over 'data'"
+        )
+
+    def test_gru_kernel_step_also_allreduces(self, monkeypatch):
+        """Same audit with the fused-GRU kernel pair forced on (the TPU
+        multi-device training default): the nested-shard_map wrap must not
+        swallow the grad all-reduce."""
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils.config import FusionConfig
+
+        monkeypatch.setenv("SER_TPU_GRU_KERNEL", "1")
+        cfg = FusionConfig(
+            wav_dir="", txt_dir="", lazy_dir1="", lazy_dir2="", label_path="",
+            feat1_dim=24, feat2_dim=16, epochs=1, lr=1e-4,
+            model_path=tempfile.mkdtemp(), batch_size=16, accum_step=1,
+            fusion_hidden_dim=16,
+        )
+        eng = FusionEngine(cfg, options=EngineOptions(n_devices=8))
+        txt = lower_fusion_train_step(eng)
+        audit = collective_audit(txt)
+        n_params = param_elements(eng.params)
+        assert audit["all-reduce"]["elements"] >= n_params
+
+
+class TestTensorParallelCollectives:
+    def test_tp2_extraction_partitions_ffn_matmuls(self):
+        """tp=2 must shard the megatron FFN kernels per-device (halved
+        parameter shapes, full shapes absent) and all-reduce the
+        row-parallel partial products."""
+        from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        scfg = SpeechConfig(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate_size=128,
+            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+            attention_type="wavlm", num_buckets=32, max_distance=64,
+            num_conv_pos_embeddings=16, conv_pos_groups=4,
+        )
+        enc = SpeechEncoderModel(scfg)
+        params = enc.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 4000), jnp.float32),
+            jnp.ones((1, 4000), jnp.float32),
+        )["params"]
+        pipe = SpeechExtractionPipeline(
+            enc, params, scfg, n_devices=8, model_parallel=2
+        )
+        fn = pipe._forward((8, 4000), -1)
+        rng = np.random.default_rng(0)
+        wav = jax.device_put(
+            rng.normal(size=(8, 4000)).astype(np.float32),
+            batch_sharding(pipe.mesh, 2),
+        )
+        mask = jax.device_put(
+            np.ones((8, 4000), np.float32), batch_sharding(pipe.mesh, 2)
+        )
+        txt = fn.lower(pipe.params, wav, mask).compile().as_text()
+
+        pshapes = set(re.findall(r"f32\[([0-9,]+)\][^ ]* parameter\(", txt))
+        # intermediate_dense kernel [32,128] → column-sharded [32,64];
+        # output_dense kernel [128,32] → row-sharded [64,32]
+        assert "32,64" in pshapes and "64,32" in pshapes, (
+            f"FFN kernels not halved per-device: {sorted(pshapes)}"
+        )
+        assert "32,128" not in pshapes and "128,32" not in pshapes, (
+            "full (unsharded) FFN kernel shapes present — tp=2 is replicating"
+        )
+        audit = collective_audit(txt)
+        total = sum(rec["count"] for rec in audit.values())
+        assert total >= 1, "tp=2 forward emitted NO collectives"
+        assert audit["all-reduce"]["count"] >= 1, (
+            "no all-reduce: row-parallel FFN partial sums are not combined"
+        )
+
+
+class TestNestedShardMapPsum:
+    def test_gru_kernel_wrap_emits_transpose_psum(self, monkeypatch):
+        """The nested-shard_map GRU kernel site must psum the replicated
+        w_hh/b_hh cotangents; total all-reduce volume must account for
+        EVERY GRU parameter's gradient."""
+        from interspeech_ser_tpu.ops.gru import BiGRU, gru_kernel_mesh
+
+        monkeypatch.setenv("SER_TPU_GRU_KERNEL", "1")
+        mesh = make_mesh(8)
+        model = BiGRU(hidden_dim=8)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(16, 10, 12)).astype(np.float32))
+        m = jnp.ones((16, 10), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x, m)["params"]
+
+        def step(p, x, m):
+            def loss(p):
+                out = model.apply({"params": p}, x, m, use_kernel=True)
+                return jnp.sum(out * out)
+
+            with gru_kernel_mesh(mesh):
+                return jax.value_and_grad(loss)(p)
+
+        xs, ms = shard_batch(mesh, (x, m))
+        ps = replicate(mesh, params)
+        txt = jax.jit(step).lower(ps, xs, ms).compile().as_text()
+
+        audit = collective_audit(txt)
+        n_params = param_elements(params)
+        # grads of w_ih/b_ih arrive via the GSPMD all-reduce, w_hh2/b_hh2
+        # via shard_map's transpose psum; XLA may combine them into one
+        # variadic all-reduce — the total volume is the invariant.
+        # (measured: exactly n_params + 1 — the +1 is the scalar loss.)
+        assert audit["all-reduce"]["elements"] >= n_params, (
+            f"all-reduce volume {audit['all-reduce']['elements']} < GRU "
+            f"param count {n_params}: the kernel wrap dropped a cotangent"
+        )
+        # the shard_map transpose psum is visible in instruction metadata
+        assert any(
+            "psum" in line and "all-reduce" in line for line in txt.splitlines()
+        ), "no psum-attributed all-reduce: shard_map transpose missing"

@@ -70,3 +70,31 @@ class TestDataParallelEquivalence:
         labels_s = jax.device_put(labels, bsh(1))
         sharded = float(jax.jit(loss)(params_s, feats_s, masks_s, labels_s))
         np.testing.assert_allclose(sharded, ref, rtol=1e-5)
+
+
+class TestGRUKernelMeshGuards:
+    def test_train_kernel_off_when_batch_not_mesh_divisible(self, monkeypatch, tmp_path):
+        """ADVICE r03: fit() pads batches to exactly cfg.batch_size, so the
+        nested-shard_map GRU kernel must disengage (fall back to the GSPMD
+        scan) when batch_size % mesh.size != 0 — shard_map raises on uneven
+        shards. predict() rounds up to a mesh multiple, so eval keeps the
+        env-forced decision."""
+        import dataclasses
+
+        from interspeech_ser_tpu.train.engine import EngineOptions, FusionEngine
+        from interspeech_ser_tpu.utils.config import FusionConfig
+
+        monkeypatch.setenv("SER_TPU_GRU_KERNEL", "1")
+        cfg = FusionConfig(
+            wav_dir="", txt_dir="", lazy_dir1="", lazy_dir2="",
+            label_path="", feat1_dim=8, feat2_dim=8, epochs=1, lr=1e-4,
+            model_path=str(tmp_path), batch_size=12, accum_step=1,
+            fusion_hidden_dim=8,
+        )
+        eng = FusionEngine(cfg, options=EngineOptions(n_devices=8))
+        assert eng._use_gru_kernel(training=True) is False  # 12 % 8 != 0
+        assert eng._use_gru_kernel() is True  # eval: predict() pads up
+
+        cfg16 = dataclasses.replace(cfg, batch_size=16)
+        eng16 = FusionEngine(cfg16, options=EngineOptions(n_devices=8))
+        assert eng16._use_gru_kernel(training=True) is True  # 16 % 8 == 0
