@@ -67,23 +67,28 @@ LOG2E = math.log2(math.e)
 #          into the max reduce and the exp pass as recomputed elementwise
 #          expressions (trades one f32 R/W pass for a second bf16 bias
 #          read).
-# MEASURED DEAD EVEN (v5e, scripts/exp_softmax_opt.py): every combination
-# lands within 0.4% on the in-context WavLM 24-layer stack (39.66-39.82
-# ms, B16 bf16) with bit-identical worst-case error vs f32 truth
-# (1.28e-2, == baseline). Conclusion: Mosaic already fuses the
-# elementwise chains into minimal passes, and the remaining softmax cost
-# is the exp evaluation itself (~0.25 ms/layer — the 5.9 ms kernel-vs-
-# GEMM-skeleton gap exp_stack_anatomy.py measures), which no pass
-# restructuring removes. Kept as a zero-default experiment surface.
+# MEASURED (v5e): at the WavLM 24-layer stack every combination lands
+# within 0.4% (39.66-39.82 ms, B16 bf16, scripts/exp_softmax_opt.py) with
+# bit-identical worst-case error vs f32 truth (1.28e-2, == baseline) —
+# Mosaic already fuses the elementwise chains there. At the WHISPER shape
+# (B8 H20 T1500 hd64, no bias — 5.6x the f32 score-tile volume per layer)
+# 'fused' is a real +10% on the isolated SDPA (4.27 → 3.88 ms,
+# scripts/exp_whisper_flash.py r04) because the never-materialized
+# shifted tile drops one full f32 R/W pass that the small-tile regime
+# hid in fusion slack; exp2/psum stay dead even there too. The default is
+# therefore PER-PATH: 'fused' on the no-bias path (whisper's regime; the
+# gated-bias wavlm A/B read 291.2 vs 288.7 utt/s — inside noise but not
+# a win, so the bias path stays plain). Env var still overrides both.
 DEFAULT_SOFTMAX_OPT = ""
+DEFAULT_SOFTMAX_OPT_NOBIAS = "fused"
 
 
-def _softmax_opt_flags() -> frozenset:
+def _softmax_opt_flags(default: Optional[str] = None) -> frozenset:
     raw = os.environ.get("SER_TPU_SOFTMAX_OPT")
     if raw is None:
-        raw = DEFAULT_SOFTMAX_OPT
+        raw = DEFAULT_SOFTMAX_OPT if default is None else default
     flags = frozenset(f for f in raw.replace(" ", "").split(",") if f)
-    unknown = flags - {"exp2", "psum", "fused"}
+    unknown = flags - {"exp2", "psum", "fused", "nomax"}
     if unknown:
         raise ValueError(f"SER_TPU_SOFTMAX_OPT: unknown flags {sorted(unknown)}")
     return flags
@@ -166,13 +171,15 @@ def _kernel_btd(
     q_ref,  # [1, bq, D] — full projection panel, D = H·hd
     k_ref,  # [1, Tk, D]
     v_ref,  # [1, Tk, D]
-    madd_ref,  # [1, 1, Tk] additive mask (0 attend / -1e9 masked)
+    madd_ref,  # [1, 1, Tk] additive mask (0 attend / -1e9 masked) or absent
     gate_ref,  # [1, H, bq] or absent
     bias_ref,  # [H, bq, Tk] or absent (full-H, VMEM-resident across b)
     out_ref,  # [1, bq, D]
     *,
     scale: float,
     has_bias: bool,
+    has_mask: bool = True,
+    n_pad_k: int = 0,
     num_heads: int,
     opts: frozenset = frozenset(),
 ):
@@ -188,12 +195,22 @@ def _kernel_btd(
       projections produce (no transposes around the custom call — the
       v1 kernel's e2e regression) and K/V panels are fetched once per
       batch row, not once per head.
+
+    MASKLESS fast path (``has_mask=False`` — whisper's fixed 30-s windows
+    pass no key mask): the [Tk] madd broadcast-add over the f32 score
+    tile disappears entirely. Keys lane-padded to the 128 tile still need
+    neutralizing, but zero-padded K rows score EXACTLY 0 (and zero-padded
+    V rows add nothing to the numerator), so each padded column
+    contributes exactly ``exp(0 - m)`` to the denominator — subtracted
+    analytically as ``l -= n_pad_k · expfn(-m)``, a [bq, 1] fixup instead
+    of a [bq, Tk] pass. Exact in f32 (softmax is shift-invariant in m,
+    even when the padded zeros dominate the row max).
     """
     D = q_ref.shape[-1]
     hd = D // num_heads
     exp2 = "exp2" in opts
     expfn = jnp.exp2 if exp2 else jnp.exp
-    madd = madd_ref[0, 0].astype(jnp.float32)  # [Tk]
+    madd = madd_ref[0, 0].astype(jnp.float32) if has_mask else None  # [Tk]
     # exp2 mode: the finished f32 logit tile is rebased by log2(e) as one
     # multiply FUSED into the add/max/exp passes already present — never
     # folded into the bf16 q scale or the bf16 bias panel, where the
@@ -211,10 +228,25 @@ def _kernel_btd(
         if has_bias:
             gate = gate_ref[0, h].astype(jnp.float32)  # [bq]
             bias = bias_ref[h].astype(jnp.float32)  # [bq, Tk]
-            add = gate[:, None] * bias + madd[None, :]
-        else:
+            add = gate[:, None] * bias
+            if has_mask:
+                add = add + madd[None, :]
+        elif has_mask:
             add = madd[None, :]
-        if "fused" in opts:
+        else:
+            add = None
+        if add is None and "nomax" in opts:
+            # EXPERIMENT (unsafe in general): skip the max-shift reduce.
+            # exp(s) overflows f32 at s > ~88 — fine for LayerNorm'd
+            # encoder activations (|s| ≲ 10) but silently wrong on
+            # adversarial inputs, so never a default. Padded key columns
+            # then contribute exp(0) = 1 each (fixup below uses m = 0).
+            m = jnp.zeros((s.shape[0], 1), jnp.float32)
+            p = expfn(s * log2e)
+        elif add is None:
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = expfn((s - m) * log2e)
+        elif "fused" in opts:
             # shifted tile never hits VMEM: the add recomputes inside the
             # max reduce and the exp pass (elementwise-into-reduce fusion)
             m = jnp.max(s + add, axis=1, keepdims=True)
@@ -231,6 +263,9 @@ def _kernel_btd(
         else:
             l = jnp.sum(p, axis=1, keepdims=True)
             p = p.astype(v_ref.dtype)
+        if not has_mask and n_pad_k:
+            # exact denominator fixup for the zero-padded key columns
+            l = l - n_pad_k * expfn(-m * log2e)
         o = jax.lax.dot_general(
             p, v_ref[0, :, lo:hi], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -240,6 +275,14 @@ def _kernel_btd(
 
 def _kernel_btd_nobias(q_ref, k_ref, v_ref, madd_ref, out_ref, **kw):
     _kernel_btd(q_ref, k_ref, v_ref, madd_ref, None, None, out_ref, **kw)
+
+
+def _kernel_btd_nobias_nomask(q_ref, k_ref, v_ref, out_ref, **kw):
+    _kernel_btd(q_ref, k_ref, v_ref, None, None, None, out_ref, **kw)
+
+
+def _kernel_btd_bias_nomask(q_ref, k_ref, v_ref, gate_ref, bias_ref, out_ref, **kw):
+    _kernel_btd(q_ref, k_ref, v_ref, None, gate_ref, bias_ref, out_ref, **kw)
 
 
 def attention_btd(
@@ -272,13 +315,23 @@ def attention_btd(
     has_bias = pos_bias is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    opts = _softmax_opt_flags()
+    opts = _softmax_opt_flags(
+        default=DEFAULT_SOFTMAX_OPT if has_bias else DEFAULT_SOFTMAX_OPT_NOBIAS
+    )
     # experiment knob: override the q-block size (scripts/exp_blockq.py).
     # Zero-default — production always takes the 512 path chosen by the
     # VMEM budgeting below.
     env_bq = os.environ.get("SER_TPU_ONESHOT_BLOCK_Q")
     if env_bq:
         block_q = int(env_bq)
+    elif key_mask is None:
+        # maskless swept optimum AND a VMEM necessity: at the whisper
+        # shape (B8 T1500 D1280) the maskless kernel at bq=512 exceeds
+        # the 64 MiB scoped limit by 3.15 MiB (Mosaic's real allocation
+        # runs ~2.5x the analytic estimate below), while bq=256 both fits
+        # and measures fastest (3.91 vs 4.13 ms masked@512 —
+        # scripts/exp_whisper_flash.py r04 sweep).
+        block_q = min(block_q, 256)
 
     block_q = min(block_q, ((Tq + 127) // 128) * 128)
     # VMEM at bq: q/out panels 2·bq·D + k/v panels 2·Tk·D (dtype bytes,
@@ -314,22 +367,28 @@ def attention_btd(
     Tq_p, Tk_p = qp.shape[1], kp.shape[1]
     n_q = Tq_p // block_q
 
-    if key_mask is None:
-        key_mask = jnp.ones((B, Tk), jnp.float32)
-    # additive mask: 0 = attend, NEG_INF = masked (padded keys included)
-    madd = _pad_axis(
-        jnp.where(key_mask > 0, 0.0, NEG_INF).astype(jnp.float32), 1, Tk_p,
-        pad_value=NEG_INF,
-    )[:, None, :]
+    # MASKLESS fast path: no [Tk] madd pass at all — padded key columns
+    # are neutralized by the kernel's analytic [bq,1] denominator fixup
+    # (zero-padded K rows score exactly 0; see _kernel_btd docstring).
+    has_mask = key_mask is not None
+    n_pad_k = Tk_p - Tk
+    if has_mask:
+        # additive mask: 0 = attend, NEG_INF = masked (padded keys included)
+        madd = _pad_axis(
+            jnp.where(key_mask > 0, 0.0, NEG_INF).astype(jnp.float32), 1, Tk_p,
+            pad_value=NEG_INF,
+        )[:, None, :]
 
     if full_d_fits:
         in_specs = [
             pl.BlockSpec((1, block_q, D), lambda b, iq: (b, iq, 0)),
             pl.BlockSpec((1, Tk_p, D), lambda b, iq: (b, 0, 0)),
             pl.BlockSpec((1, Tk_p, D), lambda b, iq: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Tk_p), lambda b, iq: (b, 0, 0)),
         ]
-        inputs = [qp, kp, vp, madd]
+        inputs = [qp, kp, vp]
+        if has_mask:
+            in_specs += [pl.BlockSpec((1, 1, Tk_p), lambda b, iq: (b, 0, 0))]
+            inputs += [madd]
         if has_bias:
             if gate is None:
                 gate = jnp.ones((B, H, Tq), jnp.float32)
@@ -342,9 +401,13 @@ def attention_btd(
                 pl.BlockSpec((H, block_q, Tk_p), lambda b, iq: (0, iq, 0)),
             ]
             inputs += [gate_p, bias_p]
+        if has_bias:
+            body = _kernel_btd if has_mask else _kernel_btd_bias_nomask
+        else:
+            body = _kernel_btd_nobias if has_mask else _kernel_btd_nobias_nomask
         kernel = functools.partial(
-            _kernel_btd if has_bias else _kernel_btd_nobias,
-            scale=float(scale), has_bias=has_bias, num_heads=H, opts=opts,
+            body, scale=float(scale), has_bias=has_bias, has_mask=has_mask,
+            n_pad_k=n_pad_k, num_heads=H, opts=opts,
         )
         grid = (B, n_q)
         out_spec = pl.BlockSpec((1, block_q, D), lambda b, iq: (b, iq, 0))
@@ -356,13 +419,15 @@ def attention_btd(
             pl.BlockSpec((1, block_q, lane_w), lambda b, hb, iq: (b, iq, hb)),
             pl.BlockSpec((1, Tk_p, lane_w), lambda b, hb, iq: (b, 0, hb)),
             pl.BlockSpec((1, Tk_p, lane_w), lambda b, hb, iq: (b, 0, hb)),
-            pl.BlockSpec((1, 1, Tk_p), lambda b, hb, iq: (b, 0, 0)),
         ]
-        inputs = [qp, kp, vp, madd]
+        inputs = [qp, kp, vp]
+        if has_mask:
+            in_specs += [pl.BlockSpec((1, 1, Tk_p), lambda b, hb, iq: (b, 0, 0))]
+            inputs += [madd]
         kernel = functools.partial(
-            _kernel_btd_nobias,
-            scale=float(scale), has_bias=False, num_heads=lane_w // hd,
-            opts=opts,
+            _kernel_btd_nobias if has_mask else _kernel_btd_nobias_nomask,
+            scale=float(scale), has_bias=False, has_mask=has_mask,
+            n_pad_k=n_pad_k, num_heads=lane_w // hd, opts=opts,
         )
         grid = (B, n_hb, n_q)
         out_spec = pl.BlockSpec((1, block_q, lane_w), lambda b, hb, iq: (b, iq, hb))

@@ -209,6 +209,45 @@ class TestOneShotBTDAttention:
         ours = attention_btd(q, k, v, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("tk", [300, 256])  # padded (300→384) and exact
+    def test_maskless_fast_path_exact(self, tk):
+        """key_mask=None takes the no-madd path: padded key columns are
+        neutralized by the analytic l -= n_pad·exp(-m) denominator fixup
+        (zero-padded K scores exactly 0), which must equal the masked
+        computation to f32 eps — the whisper production case (fixed 30-s
+        windows pass no mask; scripts/exp_whisper_flash.py r04)."""
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        q, k, v = self._btd(B=2, H=4, Tq=tk, Tk=tk, hd=64)
+        ref = self._ref(q, k, v, 4, key_mask=None)
+        ours = attention_btd(q, k, v, 4, key_mask=None, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_maskless_with_factored_bias_exact(self):
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        B, H, T, hd = 2, 4, 300, 64
+        q, k, v = self._btd(B, H, T, T, hd)
+        gate = jnp.asarray(RNG.uniform(0.5, 2.0, size=(B, H, T)).astype(np.float32))
+        pos_bias = jnp.asarray(RNG.normal(size=(H, T, T)).astype(np.float32))
+        ref = self._ref(q, k, v, H, key_mask=None, gate=gate, shared_bias=pos_bias)
+        ours = attention_btd(
+            q, k, v, H, key_mask=None, gate=gate, pos_bias=pos_bias, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_nomax_flag_maskless_exact(self, monkeypatch):
+        """'nomax' (skip the max-shift reduce; measured NEGATIVE on v5e,
+        zero-default experiment) must stay exact on bounded inputs — the
+        l fixup then subtracts n_pad·exp(0) = n_pad."""
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        q, k, v = self._btd(B=2, H=4, Tq=300, Tk=300, hd=64)
+        ref = self._ref(q, k, v, 4, key_mask=None)
+        monkeypatch.setenv("SER_TPU_SOFTMAX_OPT", "fused,nomax")
+        ours = attention_btd(q, k, v, 4, key_mask=None, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
     def test_lane_blocked_fallback_branch(self, monkeypatch):
         """Shrink the VMEM budget so the no-bias lane-blocked grid path
         (very large D·Tk on hardware) is exercised in interpret mode."""
