@@ -264,6 +264,18 @@ class TestOneShotBTDAttention:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
         np.testing.assert_allclose(np.asarray(ours_m), np.asarray(ref_m), atol=2e-5)
 
+    def test_lane_blocked_maskless_padded_keys(self, monkeypatch):
+        """Lane-blocked branch + maskless fast path + Tk lane padding
+        (300→384): the analytic denominator fixup must hold per
+        head-block too."""
+        import interspeech_ser_tpu.ops.pallas.flash_attention_short as fas
+
+        q, k, v = self._btd(B=2, H=4, Tq=300, Tk=300, hd=64)  # D=256
+        ref = self._ref(q, k, v, 4, key_mask=None)
+        monkeypatch.setattr(fas, "_VMEM_BUDGET", 300_000)  # forces lane blocking
+        ours = fas.attention_btd(q, k, v, 4, key_mask=None, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
     def test_lane_blocked_with_bias_raises_budget_error(self, monkeypatch):
         import interspeech_ser_tpu.ops.pallas.flash_attention_short as fas
 
