@@ -17,6 +17,7 @@ variant called out in SURVEY.md §7.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
 import jax
@@ -219,12 +220,10 @@ def deberta_v2_xxlarge(dtype="float32") -> DebertaV2Config:
     return DebertaV2Config(dtype=dtype)
 
 
-def _log_bucket_positions(t: int, bucket_size: int, max_position: int) -> np.ndarray:
-    """DeBERTa log-bucketed relative positions [t, t] (HF
-    make_log_bucket_position semantics, numpy at trace time)."""
-    rel = np.arange(t)[:, None] - np.arange(t)[None, :]
+def _log_bucket_1d(rel: np.ndarray, bucket_size: int, max_position: int) -> np.ndarray:
+    """HF make_log_bucket_position on an arbitrary relative-offset array."""
     if bucket_size <= 0 or max_position <= 0:
-        return rel
+        return rel.astype(np.int64)
     sign = np.sign(rel)
     mid = bucket_size // 2
     abs_pos = np.where((rel < mid) & (rel > -mid), mid - 1, np.abs(rel))
@@ -232,6 +231,13 @@ def _log_bucket_positions(t: int, bucket_size: int, max_position: int) -> np.nda
         np.ceil(np.log(abs_pos / mid) / np.log((max_position - 1) / mid) * (mid - 1)) + mid
     )
     return np.where(abs_pos <= mid, rel, (log_pos * sign)).astype(np.int64)
+
+
+def _log_bucket_positions(t: int, bucket_size: int, max_position: int) -> np.ndarray:
+    """DeBERTa log-bucketed relative positions [t, t] (HF
+    make_log_bucket_position semantics, numpy at trace time)."""
+    rel = np.arange(t)[:, None] - np.arange(t)[None, :]
+    return _log_bucket_1d(rel, bucket_size, max_position)
 
 
 def _gather_last_static(x: jnp.ndarray, idx: np.ndarray, max_onehot_elems: int = 16_000_000):
@@ -260,6 +266,39 @@ def _gather_last_static(x: jnp.ndarray, idx: np.ndarray, max_onehot_elems: int =
         "...qs,qsk->...qk", x[..., lo:hi], jnp.asarray(onehot),
         preferred_element_type=jnp.float32,
     )
+
+
+def _toeplitz_rel_select(x: jnp.ndarray, idx_1d: np.ndarray, t: int) -> jnp.ndarray:
+    """y[..., q, k] = x[..., q, idx_1d[(q - k) + (t-1)]] — the DeBERTa
+    c2p/p2c select exploiting that the bucket index depends ONLY on the
+    relative offset q−k (Toeplitz structure).
+
+    Instead of a q-batched one-hot select (80 small GEMMs with layout
+    transposes around them — the r04 DeBERTa anatomy put the branch at
+    ~46 TF/s vs the GEMM core's 115), this factors into:
+      1. ONE unbatched one-hot matmul over relative offsets:
+         xr[..., q, r] = x[..., q, idx_1d[r]]  via a static {0,1}
+         [W, 2t-1] matrix — m = B·H·t rows, a proper MXU shape;
+      2. a pad/flatten/reshape skew (the Music-Transformer relative-
+         attention trick) realizing y[q, k] = xr[q, q−k+t−1] in pure
+         layout ops, no gather.
+    Exact: every output is 1.0·x[...] selected by the one-hot.
+
+    ``x`` is the bucket-windowed tensor [..., t, W]; ``idx_1d[r]`` maps
+    relative offset r−(t−1) to its window bucket, r ∈ [0, 2t−2].
+    """
+    L = 2 * t - 1
+    W = x.shape[-1]
+    sel = np.zeros((W, L), np.float32)
+    sel[idx_1d, np.arange(L)] = 1.0
+    xr = jnp.einsum(
+        "...qs,sr->...qr", x, jnp.asarray(sel), preferred_element_type=jnp.float32
+    )  # [..., t, L]
+    lead = xr.shape[:-2]
+    flat = xr.reshape(*lead, t * L)
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, t)])
+    z = flat.reshape(*lead, t, L + 1)[..., :t]  # z[q, j] = xr[q, q + j]
+    return z[..., ::-1]  # y[q, k] = z[q, t-1-k] = xr[q, q - k + t - 1]
 
 
 class _DisentangledSelfAttention(nn.Module):
@@ -304,15 +343,50 @@ class _DisentangledSelfAttention(nn.Module):
         pos_q = q_proj(rel).reshape(2 * span, H, hd).transpose(1, 0, 2)
 
         # c2p: score[q, k] += q_vec · pos_key[bucket(q-k)+S] / scale
-        c2p = jnp.einsum("bhqd,hsd->bhqs", q, pos_k, preferred_element_type=jnp.float32)
-        c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)  # [T, T]
-        c2p_g = _gather_last_static(c2p, c2p_idx)
+        # The einsums are WINDOWED to the bucket range the select actually
+        # uses (static at trace time): at T=80 only ~159 of the 2S=512
+        # buckets are reachable, and the un-windowed [B,H,T,2S] f32
+        # intermediates cost 3.2x the FLOPs and ~250 MB/layer of HBM
+        # traffic for values the select immediately drops (r04 anatomy:
+        # the branch ran at ~46 TF/s vs the GEMM core's 115 —
+        # scripts/exp_deberta_anatomy.py). A Toeplitz reformulation of
+        # the select (one unbatched one-hot matmul over relative offsets
+        # + a pad/reshape skew, _toeplitz_rel_select) measured 243.9 vs
+        # 395.4 seq/s on v5e — the skew's lane-dim reshapes force full
+        # relayouts on the (8,128)-tiled layout, a TPU anti-pattern —
+        # so the q-batched windowed one-hot select stays the default
+        # (SER_TPU_DEBERTA_TOEPLITZ=1 re-enables the experiment).
+        use_toeplitz = (
+            os.environ.get("SER_TPU_DEBERTA_TOEPLITZ") == "1" and T <= 256
+        )
+        rel_1d = np.arange(-(T - 1), T)  # offset r - (T-1)
+        b1d = _log_bucket_1d(rel_1d, cfg.position_buckets, mrp)
+
+        c2p_1d = np.clip(b1d + span, 0, 2 * span - 1)  # [2T-1]
+        lo_c, hi_c = int(c2p_1d.min()), int(c2p_1d.max()) + 1
+        c2p = jnp.einsum(
+            "bhqd,hsd->bhqs", q, pos_k[:, lo_c:hi_c],
+            preferred_element_type=jnp.float32,
+        )
+        if use_toeplitz:
+            c2p_g = _toeplitz_rel_select(c2p, c2p_1d - lo_c, T)
+        else:
+            c2p_idx = np.clip(rel_pos + span, 0, 2 * span - 1)  # [T, T]
+            c2p_g = _gather_last_static(c2p, c2p_idx - lo_c)
         scores = scores + c2p_g / scale
 
         # p2c: score[q, k] += k_vec · pos_query[S - bucket(k-q)]ᵀ / scale
-        p2c = jnp.einsum("bhkd,hsd->bhks", k, pos_q, preferred_element_type=jnp.float32)
-        p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)  # [T(k-as-q), T]
-        p2c_g = _gather_last_static(p2c, p2c_idx)
+        p2c_1d = np.clip(-b1d + span, 0, 2 * span - 1)  # [2T-1]
+        lo_p, hi_p = int(p2c_1d.min()), int(p2c_1d.max()) + 1
+        p2c = jnp.einsum(
+            "bhkd,hsd->bhks", k, pos_q[:, lo_p:hi_p],
+            preferred_element_type=jnp.float32,
+        )
+        if use_toeplitz:
+            p2c_g = _toeplitz_rel_select(p2c, p2c_1d - lo_p, T)
+        else:
+            p2c_idx = np.clip(-rel_pos + span, 0, 2 * span - 1)
+            p2c_g = _gather_last_static(p2c, p2c_idx - lo_p)
         scores = scores + jnp.swapaxes(p2c_g, -1, -2) / scale
 
         scores = jnp.where(pair_mask[:, None], scores, NEG_INF)

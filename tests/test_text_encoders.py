@@ -160,3 +160,56 @@ class TestGatherLastStatic:
     def test_fallback_path_is_gather(self):
         # threshold forces the take_along_axis fallback; still exact
         self._check(t=48, span=16, buckets=16, max_pos=128, max_onehot_elems=1)
+
+
+class TestToeplitzRelSelect:
+    """The Toeplitz select experiment (SER_TPU_DEBERTA_TOEPLITZ=1; measured
+    NEGATIVE on v5e — 243.9 vs 395.4 seq/s, the skew's lane-dim reshapes
+    force relayouts) must still be EXACT: one-hot over relative offsets +
+    pad/reshape skew == the per-(q,k) take_along_axis."""
+
+    def _check(self, t, span, buckets, max_pos):
+        from interspeech_ser_tpu.models.text import (
+            _log_bucket_1d,
+            _log_bucket_positions,
+            _toeplitz_rel_select,
+        )
+
+        rel_1d = np.arange(-(t - 1), t)
+        idx_1d = np.clip(_log_bucket_1d(rel_1d, buckets, max_pos) + span,
+                         0, 2 * span - 1)
+        lo, hi = int(idx_1d.min()), int(idx_1d.max()) + 1
+        idx2d = np.clip(_log_bucket_positions(t, buckets, max_pos) + span,
+                        0, 2 * span - 1)
+        x = jnp.asarray(RNG.normal(size=(2, 3, t, hi - lo)).astype(np.float32))
+        want = jnp.take_along_axis(x, jnp.asarray(idx2d - lo)[None, None], axis=-1)
+        got = _toeplitz_rel_select(x, idx_1d - lo, t)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_linear_regime(self):
+        self._check(t=80, span=256, buckets=256, max_pos=512)
+
+    def test_log_bucket_regime(self):
+        self._check(t=48, span=16, buckets=16, max_pos=128)
+
+    def test_deberta_forward_flag_equality(self, monkeypatch):
+        """Full tiny-DeBERTa forward: flag on == flag off bitwise-close."""
+        from interspeech_ser_tpu.models.text import DebertaV2Config, DebertaV2Model
+
+        cfg = DebertaV2Config(
+            vocab_size=200, hidden_size=32, num_layers=2, num_heads=4,
+            intermediate_size=64, max_position_embeddings=128,
+            position_buckets=16, max_relative_positions=-1,
+        )
+        model = DebertaV2Model(cfg)
+        ids = jnp.asarray(RNG.integers(3, 200, size=(2, 24)))
+        mask = jnp.ones((2, 24), jnp.float32)
+        import jax
+
+        params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+        out_off = model.apply({"params": params}, ids, mask)["last_hidden_state"]
+        monkeypatch.setenv("SER_TPU_DEBERTA_TOEPLITZ", "1")
+        out_on = model.apply({"params": params}, ids, mask)["last_hidden_state"]
+        np.testing.assert_allclose(
+            np.asarray(out_on), np.asarray(out_off), atol=1e-5
+        )
