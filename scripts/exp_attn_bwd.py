@@ -14,6 +14,15 @@ grad-norm must agree before a variant's time counts. Chained-dispatch
 timing as everywhere (the tunnel defeats per-call timing).
 
 Run: python scripts/exp_attn_bwd.py
+
+r04 re-measure (wavlm case, real v5e): xla 109.07 vs pair 108.51 ms/step
+= 1.005x — the r03 0.962x "bias-heavy backward" deficit does not
+reproduce; the pair is DEAD EVEN at the WavLM ft shape (noise band ~4%
+over the tunnel). The queued "bias-aware backward schedule" idea is
+closed: with no deficit to recover and single-pass-level rewrites worth
+±1-2% at most, the Tk >= TRAIN_KERNEL_MIN_TK gate stays as shipped
+(whisper wins 1.28-1.56x, wavlm keeps XLA by the gate; flipping wavlm on
+would be noise-churn, not a win).
 """
 import dataclasses
 import os
