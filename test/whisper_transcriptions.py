@@ -21,7 +21,10 @@ def main(argv=None):
     p.add_argument("--model", required=True, help="HF whisper model dir/name")
     p.add_argument("--wav_dir", required=True)
     p.add_argument("--out_csv", default="whisper_transcript.csv")
-    p.add_argument("--batch_size", type=int, default=8)
+    # B sweep on v5e (scripts/bench_whisper_decode.py, cached greedy,
+    # bf16): B=4 670 -> B=8 821 -> B=16 999.8 tok/s; B=32 OOMs the 16 GB
+    # HBM (cross-K/V caches at T=1500). 16 is the measured optimum.
+    p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--max_new_tokens", type=int, default=200)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
