@@ -184,3 +184,73 @@ class TestNestedShardMapPsum:
         assert any(
             "psum" in line and "all-reduce" in line for line in txt.splitlines()
         ), "no psum-attributed all-reduce: shard_map transpose missing"
+
+
+class TestLoRACollectives:
+    def test_lora_dp_step_allreduces_only_trainable(self, tmp_path):
+        """The LoRA fine-tune DP step must all-reduce the TRAINABLE grad
+        volume (lora + head) — and must NOT also be averaging frozen-base
+        gradients (volume stays below trainable + base).
+
+        Measured on the virtual mesh: trainable 18,434 / base 23,160 /
+        all-reduce 22,020 elems — frozen-base grads never cross."""
+        import optax
+        import torch
+        from transformers import WavLMConfig, WavLMModel
+
+        from interspeech_ser_tpu.ops.kernel_context import kernel_mesh
+        from interspeech_ser_tpu.train import losses
+        from interspeech_ser_tpu.train.lora_engine import LoRAFTEngine
+
+        torch.manual_seed(6)
+        cfg = WavLMConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+            conv_stride=[5, 2], num_feat_extract_layers=2,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=32, max_bucket_distance=64, do_stable_layer_norm=True,
+            feat_extract_norm="layer", conv_bias=True, layerdrop=0.0,
+        )
+        WavLMModel(cfg).save_pretrained(str(tmp_path / "hf"))
+
+        eng = LoRAFTEngine(str(tmp_path / "hf"), rank=2, num_emotions=2, n_devices=8)
+        tx = optax.adamw(1e-4)
+        trainable = replicate(eng.mesh, {"lora": eng.lora, "head": eng.head_params})
+        opt_state = replicate(eng.mesh, tx.init(trainable))
+        base = replicate(eng.mesh, eng.base_params)
+        rng = np.random.default_rng(0)
+        B, L = 8, 3200
+        wav = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+        mask = jnp.ones((B, L), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, B))
+        smask = jnp.ones((B,), jnp.float32)
+
+        def step(base, trainable, opt_state, wav, mask, y, smask, dkey):
+            def loss_fn(t):
+                logits = eng._forward(base, t["lora"], t["head"], wav, mask, False, dkey)
+                return losses.weighted_cross_entropy(logits, y, None, smask)
+
+            with kernel_mesh(eng.mesh):
+                loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            import optax as _o
+            return _o.apply_updates(trainable, updates), opt_state, loss
+
+        args = shard_batch(eng.mesh, (wav, mask, y, smask))
+        txt = (
+            jax.jit(step, donate_argnums=(1, 2))
+            .lower(base, trainable, opt_state, *args, jax.random.PRNGKey(0))
+            .compile()
+            .as_text()
+        )
+        audit = collective_audit(txt)
+        n_train = param_elements(trainable)
+        n_base = param_elements(eng.base_params)
+        ar = audit["all-reduce"]["elements"]
+        assert ar >= n_train, (
+            f"all-reduce {ar} < trainable {n_train}: LoRA/head grads not averaged"
+        )
+        assert ar < n_train + n_base, (
+            f"all-reduce {ar} >= trainable+base {n_train + n_base}: "
+            "frozen-base gradients are crossing the mesh"
+        )
