@@ -199,12 +199,16 @@ def _kernel_btd(
     MASKLESS fast path (``has_mask=False`` — whisper's fixed 30-s windows
     pass no key mask): the [Tk] madd broadcast-add over the f32 score
     tile disappears entirely. Keys lane-padded to the 128 tile still need
-    neutralizing, but zero-padded K rows score EXACTLY 0 (and zero-padded
-    V rows add nothing to the numerator), so each padded column
-    contributes exactly ``exp(0 - m)`` to the denominator — subtracted
-    analytically as ``l -= n_pad_k · expfn(-m)``, a [bq, 1] fixup instead
-    of a [bq, Tk] pass. Exact in f32 (softmax is shift-invariant in m,
-    even when the padded zeros dominate the row max).
+    neutralizing: zero-padded V rows add nothing to the numerator, and
+    the denominator is summed over ONLY the real lane slice
+    (``l = Σ p[:, :Tk-n_pad]`` — a static slice folded into the reduce,
+    no extra pass). Exact in f32 by softmax shift-invariance even when
+    the padded zero scores dominate the row max. (An earlier analytic
+    fixup ``l -= n_pad·exp(-m)`` was CATASTROPHICALLY WRONG when a row's
+    real scores sat far below 0 — m = 0 from the pads, the fixup
+    cancelled the entire f32 sum, and the clamped denominator exploded
+    the output ~1e20; found by review, pinned in
+    tests/test_flash_attention.py::test_maskless_all_negative_scores.)
     """
     D = q_ref.shape[-1]
     hd = D // num_heads
@@ -240,8 +244,7 @@ def _kernel_btd(
             # exp(s) overflows f32 at s > ~88 — fine for LayerNorm'd
             # encoder activations (|s| ≲ 10) but silently wrong on
             # adversarial inputs, so never a default. Padded key columns
-            # then contribute exp(0) = 1 each (fixup below uses m = 0).
-            m = jnp.zeros((s.shape[0], 1), jnp.float32)
+            # are excluded from l by the real-slice sum below.
             p = expfn(s * log2e)
         elif add is None:
             m = jnp.max(s, axis=1, keepdims=True)
@@ -255,17 +258,19 @@ def _kernel_btd(
             s = s + add
             m = jnp.max(s, axis=1, keepdims=True)
             p = expfn((s - m) * log2e)
+        # maskless + padded keys: the denominator sums ONLY the real
+        # columns (static slice; padded p values never enter l, and
+        # padded V rows are zero so they never enter the numerator)
+        p_l = p[:, : p.shape[1] - n_pad_k] if (not has_mask and n_pad_k) else p
         if "psum" in opts:
             # round P first; l then normalizes the exact weights the PV
             # matmul consumes (f32 accumulation over the rounded P)
             p = p.astype(v_ref.dtype)
-            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            p_l = p_l.astype(v_ref.dtype)
+            l = jnp.sum(p_l, axis=1, keepdims=True, dtype=jnp.float32)
         else:
-            l = jnp.sum(p, axis=1, keepdims=True)
+            l = jnp.sum(p_l, axis=1, keepdims=True)
             p = p.astype(v_ref.dtype)
-        if not has_mask and n_pad_k:
-            # exact denominator fixup for the zero-padded key columns
-            l = l - n_pad_k * expfn(-m * log2e)
         o = jax.lax.dot_general(
             p, v_ref[0, :, lo:hi], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -401,7 +406,6 @@ def attention_btd(
                 pl.BlockSpec((H, block_q, Tk_p), lambda b, iq: (0, iq, 0)),
             ]
             inputs += [gate_p, bias_p]
-        if has_bias:
             body = _kernel_btd if has_mask else _kernel_btd_bias_nomask
         else:
             body = _kernel_btd_nobias if has_mask else _kernel_btd_nobias_nomask

@@ -29,6 +29,9 @@ _INSTR_RE = re.compile(
     r"(?P<async>-start)?\("
 )
 _SHAPE_RE = re.compile(r"(?:pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|s64|u64)\[([0-9,]*)\]")
+_TYPED_SHAPE_RE = re.compile(
+    r"(pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|s64|u64)\[([0-9,]*)\]"
+)
 
 
 def _elements(dims_csv: str) -> int:
@@ -46,14 +49,29 @@ def collective_audit(hlo_text: str) -> Dict[str, Dict[str, int]]:
     Parses optimized-HLO lines of the form
     ``%all-reduce.3 = f32[8,16]{1,0} all-reduce(%dot.1), ...`` (the result
     type may be a tuple for combined/variadic collectives). ``*-done`` ops
-    are ignored so async pairs are not double counted.
+    are ignored so async pairs are not double counted; for async
+    ``*-start`` forms the result tuple interleaves operand aliases and
+    u32 control contexts with the actual outputs — control shapes are
+    dropped and only the LAST data shape (XLA prints results after
+    operands) is counted, so the volume matches the sync form.
+
+    Known limitation: collectives wrapped in a generic ``async-start``
+    computation (no opcode on the start line) are not counted; the CPU
+    backend the tests run on emits the sync forms.
     """
     out = {k: {"count": 0, "elements": 0} for k in COLLECTIVE_OPS}
     for line in hlo_text.splitlines():
         m = _INSTR_RE.search(line)
         if m is None:
             continue
-        elems = sum(_elements(s) for s in _SHAPE_RE.findall(m.group("restype")))
+        typed = _TYPED_SHAPE_RE.findall(m.group("restype"))  # [(dtype, dims)]
+        if m.group("async"):
+            data = [dims for dt, dims in typed
+                    if dt not in ("u32", "s32", "u8", "pred")]
+            typed_dims = data[-1:] if data else [dims for _, dims in typed][-1:]
+        else:
+            typed_dims = [dims for _, dims in typed]
+        elems = sum(_elements(s) for s in typed_dims)
         rec = out[m.group("op")]
         rec["count"] += 1
         rec["elements"] += elems
@@ -89,7 +107,6 @@ def lower_fusion_train_step(engine, t1: int = 12, t2: int = 8) -> str:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from .mesh import replicate, shard_batch
 
@@ -97,9 +114,7 @@ def lower_fusion_train_step(engine, t1: int = 12, t2: int = 8) -> str:
     if engine.params is None:
         engine.init_params()
     if getattr(engine, "tx", None) is None:
-        engine.tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-6
-        )
+        engine.tx = engine.make_tx()  # the production recipe, not a copy
     opt_state = replicate(engine.mesh, engine.tx.init(engine.params))
     rng = np.random.default_rng(0)
     B = cfg.batch_size

@@ -291,6 +291,17 @@ class FusionEngine:
             use_gru_kernel=use_gru_kernel,
         )
 
+    def make_tx(self):
+        """The production optimizer recipe (reference: AdamW, wd 1e-6).
+
+        Single source of truth — `fit()` and `parallel/audit.py`'s
+        train-step lowering must build the SAME optimizer, or the audit
+        asserts on a different program than production."""
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self.cfg.lr, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=1e-6,
+        )
+
     def _use_gru_kernel(self, training: bool = False) -> bool:
         # Fused GRU kernel (ops/pallas/gru_kernel.py). EVAL: single device,
         # or per-shard under the eval step's shard_map wrap below — both
@@ -515,9 +526,7 @@ class FusionEngine:
             use_cw = not cfg.use_balanced_batch
             class_w = train_w if use_cw else None
 
-        self.tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-6
-        )
+        self.tx = self.make_tx()
         if self.params is None:
             self.init_params()
         opt_state = replicate(self.mesh, self.tx.init(self.params))

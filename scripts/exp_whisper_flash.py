@@ -31,7 +31,12 @@ MEASURED (v5e bf16, r04) — isolated SDPA B8 H20 T1500 hd64:
   l -= n_pad·exp(-m) fixup replaces the [bq,Tk] madd pass): bq sweep
   mask/nomask 512: 4.13/OOM-67M, 384: 4.10/4.01, 256: 4.60/3.91,
   128: 4.47/4.27 → maskless caps bq at 256 (VMEM necessity + optimum).
-  'nomax' (skip max-shift): 4.44 vs 3.98 — NEGATIVE, zero-default flag.
+  'nomax' (skip max-shift): 4.44 vs 3.98 with the original fixup —
+  negative; after the r04 review fix replaced the fixup with the
+  real-slice denominator sum, nomax re-measures 3.86 vs 4.22 (+9%) —
+  but exp(s) overflows f32 at s > ~88, silently wrong on adversarial
+  inputs, so it STAYS a zero-default experiment flag; shipping it would
+  trade correctness guarantees for 9% on one model.
   NET: e2e whisper extraction 45.9 → 48.0 win/s (+4.6%); the remaining
   SDPA cost is the VPU exp floor (~3.7e8 exps/layer ≈ 3 ms at ~123
   Gexp/s — irreducible for exact softmax; MXU share is only ~0.9 ms).

@@ -223,6 +223,26 @@ class TestOneShotBTDAttention:
         ours = attention_btd(q, k, v, 4, key_mask=None, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
+    def test_maskless_all_negative_scores(self):
+        """Review-found bug (r04): when a query row's real scores all sit
+        far below 0, the lane-padded zero scores dominate the row max and
+        the earlier analytic denominator fixup (l -= n_pad·exp(-m))
+        cancelled the entire f32 sum — outputs exploded ~1e20. The
+        real-slice denominator sum must stay exact here."""
+        from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
+
+        B, H, T, hd = 1, 2, 300, 64  # T=300 → padded to 384 (n_pad=84)
+        D = H * hd
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+        # anti-aligned k ⇒ every real score ≈ -hd·scale ≪ 0
+        k = -q * 3.0
+        v = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+        ref = self._ref(q, k, v, H, key_mask=None)
+        ours = attention_btd(q, k, v, H, key_mask=None, interpret=True)
+        assert np.isfinite(np.asarray(ours)).all()
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
     def test_maskless_with_factored_bias_exact(self):
         from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
 
