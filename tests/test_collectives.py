@@ -362,3 +362,44 @@ class TestXVectorSyncBN:
             "a single combined all-reduce cannot carry forward BN moment "
             "syncs (they happen before the backward)"
         )
+
+
+class TestAuditParser:
+    """Pin collective_audit's parsing against canned HLO forms so a
+    format drift fails loudly here, not vacuously in the volume asserts."""
+
+    def test_sync_and_variadic_forms(self):
+        txt = "\n".join([
+            "  %all-reduce = f32[8,16]{1,0} all-reduce(%dot.1), channel_id=1",
+            "  %ar2 = (f32[4,4]{1,0}, f32[16]{0}) all-reduce(%a, %b), to_apply=%add",
+            "  %ag = f32[64,8]{1,0} all-gather(%x), dimensions={0}",
+            "  %done = f32[8,16]{1,0} all-reduce-done(%start)",  # ignored
+        ])
+        audit = collective_audit(txt)
+        assert audit["all-reduce"]["count"] == 2
+        assert audit["all-reduce"]["elements"] == 128 + 16 + 16
+        assert audit["all-gather"]["count"] == 1
+        assert audit["all-gather"]["elements"] == 512
+
+    def test_async_start_counts_output_only(self):
+        txt = (
+            "  %ags = (f32[8,16]{1,0}, f32[64,16]{1,0}, u32[], u32[]) "
+            "all-gather-start(%x), dimensions={0}"
+        )
+        audit = collective_audit(txt)
+        assert audit["all-gather"]["count"] == 1
+        # operand alias (128) and u32 contexts dropped; output (1024) kept
+        assert audit["all-gather"]["elements"] == 1024
+
+    def test_negative_control_single_device(self):
+        """A step compiled WITHOUT sharding must audit to zero collectives
+        — guards against the parser over-matching."""
+        def loss(w, x):
+            return jnp.sum((x @ w) ** 2)
+
+        g = jax.jit(jax.grad(loss))
+        w = jnp.ones((16, 8), jnp.float32)
+        x = jnp.ones((32, 16), jnp.float32)
+        txt = g.lower(w, x).compile().as_text()
+        audit = collective_audit(txt)
+        assert all(rec["count"] == 0 for rec in audit.values()), audit
