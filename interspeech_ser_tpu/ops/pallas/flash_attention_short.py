@@ -373,8 +373,10 @@ def attention_btd(
     n_q = Tq_p // block_q
 
     # MASKLESS fast path: no [Tk] madd pass at all — padded key columns
-    # are neutralized by the kernel's analytic [bq,1] denominator fixup
-    # (zero-padded K rows score exactly 0; see _kernel_btd docstring).
+    # are neutralized by summing the softmax denominator over ONLY the
+    # real lane slice (l = Σ p[:, :Tk], a static slice folded into the
+    # reduce; see _kernel_btd docstring for why the earlier analytic
+    # l -= n_pad·exp(-m) fixup was wrong and must not come back).
     has_mask = key_mask is not None
     n_pad_k = Tk_p - Tk
     if has_mask:

@@ -20,15 +20,20 @@ from __future__ import annotations
 import re
 from typing import Dict
 
-# sync + async-start forms; -done carries no new volume and is skipped
-COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
+# sync + async-start forms; -done carries no new volume and is skipped.
+# all-to-all included: XLA:TPU can pick an all-to-all decomposition for
+# sharded contractions, and a program communicating ONLY that way must
+# not audit as 'NONE' (ADVICE r04).
+COLLECTIVE_OPS = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
 
 _INSTR_RE = re.compile(
     r"=\s*(?P<restype>\([^)]*\)|\S+)\s+"
-    r"(?P<op>all-reduce|all-gather|reduce-scatter|collective-permute)"
+    r"(?P<op>all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
     r"(?P<async>-start)?\("
 )
-_SHAPE_RE = re.compile(r"(?:pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|s64|u64)\[([0-9,]*)\]")
 _TYPED_SHAPE_RE = re.compile(
     r"(pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|s64|u64)\[([0-9,]*)\]"
 )
@@ -50,10 +55,15 @@ def collective_audit(hlo_text: str) -> Dict[str, Dict[str, int]]:
     ``%all-reduce.3 = f32[8,16]{1,0} all-reduce(%dot.1), ...`` (the result
     type may be a tuple for combined/variadic collectives). ``*-done`` ops
     are ignored so async pairs are not double counted; for async
-    ``*-start`` forms the result tuple interleaves operand aliases and
-    u32 control contexts with the actual outputs — control shapes are
-    dropped and only the LAST data shape (XLA prints results after
-    operands) is counted, so the volume matches the sync form.
+    ``*-start`` forms the result tuple is ``(operand-half, result-half,
+    control contexts)`` — control shapes (u32/s32/u8/pred) are dropped and
+    the trailing HALF of the remaining data shapes is counted, so both the
+    plain ``(operand, result)`` pair and variadic combined collectives
+    (``(op1..opN, res1..resN)``, common after TPU all-reduce combining)
+    match the sync form's volume. An odd data-shape count (one combined
+    operand aliased in place, seen on some backends) rounds toward
+    counting MORE shapes — over-counting keeps the ``elements >= n``
+    receipts sound.
 
     Known limitation: collectives wrapped in a generic ``async-start``
     computation (no opcode on the start line) are not counted; the CPU
@@ -68,7 +78,8 @@ def collective_audit(hlo_text: str) -> Dict[str, Dict[str, int]]:
         if m.group("async"):
             data = [dims for dt, dims in typed
                     if dt not in ("u32", "s32", "u8", "pred")]
-            typed_dims = data[-1:] if data else [dims for _, dims in typed][-1:]
+            typed_dims = data[len(data) // 2:] if data \
+                else [dims for _, dims in typed][-1:]
         else:
             typed_dims = [dims for _, dims in typed]
         elems = sum(_elements(s) for s in typed_dims)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import os
 import queue
+import sys
 import threading
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
@@ -89,9 +90,13 @@ class LazyFeatureDataset:
         paths = self._paths(idx)
         if self._verbose_once:
             # first-sample echo, mirroring the reference's sanity print
-            # (bin/train_cat_bimodal_lazy_1head.py:222-225)
-            print(*paths)
+            # (bin/train_cat_bimodal_lazy_1head.py:222-225). Flag is
+            # cleared BEFORE printing and the line goes out as ONE write:
+            # load_features runs on pool threads, and multi-arg print()
+            # from racing workers interleaved mid-line in the dryrun tail
+            # (MULTICHIP_r04.json) — the one artifact a machine parses.
             self._verbose_once = False
+            sys.stdout.write(" ".join(paths) + "\n")
         feats = []
         for p, d in zip(paths, self.feat_dims):
             arr = np.asarray(ptio.load_tensor(p), dtype=np.float32)

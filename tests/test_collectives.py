@@ -391,6 +391,34 @@ class TestAuditParser:
         # operand alias (128) and u32 contexts dropped; output (1024) kept
         assert audit["all-gather"]["elements"] == 1024
 
+    def test_all_to_all_counted(self):
+        """XLA:TPU may lower a sharded contraction to all-to-all ONLY —
+        the audit must not report 'NONE' there (ADVICE r04). Sync and
+        async-start forms both count."""
+        txt = "\n".join([
+            "  %a2a = f32[8,32]{1,0} all-to-all(%x), dimensions={1}",
+            "  %a2as = (f32[4,8]{1,0}, f32[4,8]{1,0}) "
+            "all-to-all-start(%y), dimensions={0}",
+            "  %a2ad = f32[4,8]{1,0} all-to-all-done(%a2as)",  # ignored
+        ])
+        audit = collective_audit(txt)
+        assert audit["all-to-all"]["count"] == 2
+        assert audit["all-to-all"]["elements"] == 256 + 32
+
+    def test_variadic_async_start_counts_result_half(self):
+        """Combined variadic all-reduce-start (common after TPU
+        all-reduce combining): result tuple is (op1..opN, res1..resN,
+        contexts) — the result HALF must be summed, not just the last
+        shape, or `elements >= n_params` receipts spuriously fail."""
+        txt = (
+            "  %ars = (f32[8,16]{1,0}, f32[64]{0}, f32[8,16]{1,0}, "
+            "f32[64]{0}, u32[], u32[]) all-reduce-start(%a, %b), "
+            "to_apply=%add"
+        )
+        audit = collective_audit(txt)
+        assert audit["all-reduce"]["count"] == 1
+        assert audit["all-reduce"]["elements"] == 128 + 64
+
     def test_negative_control_single_device(self):
         """A step compiled WITHOUT sharding must audit to zero collectives
         — guards against the parser over-matching."""

@@ -212,10 +212,11 @@ class TestOneShotBTDAttention:
     @pytest.mark.parametrize("tk", [300, 256])  # padded (300→384) and exact
     def test_maskless_fast_path_exact(self, tk):
         """key_mask=None takes the no-madd path: padded key columns are
-        neutralized by the analytic l -= n_pad·exp(-m) denominator fixup
-        (zero-padded K scores exactly 0), which must equal the masked
-        computation to f32 eps — the whisper production case (fixed 30-s
-        windows pass no mask; scripts/exp_whisper_flash.py r04)."""
+        neutralized by the real-lane-slice denominator sum
+        (l = Σ p[:, :Tk]; zero-padded K scores exactly 0), which must
+        equal the masked computation to f32 eps — the whisper production
+        case (fixed 30-s windows pass no mask;
+        scripts/exp_whisper_flash.py r04)."""
         from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
 
         q, k, v = self._btd(B=2, H=4, Tq=tk, Tk=tk, hd=64)
@@ -259,7 +260,8 @@ class TestOneShotBTDAttention:
     def test_nomax_flag_maskless_exact(self, monkeypatch):
         """'nomax' (skip the max-shift reduce; measured NEGATIVE on v5e,
         zero-default experiment) must stay exact on bounded inputs — the
-        l fixup then subtracts n_pad·exp(0) = n_pad."""
+        real-lane-slice denominator sum ignores the padded exp(0)=1
+        columns regardless of the shift."""
         from interspeech_ser_tpu.ops.pallas.flash_attention_short import attention_btd
 
         q, k, v = self._btd(B=2, H=4, Tq=300, Tk=300, hd=64)
@@ -286,7 +288,7 @@ class TestOneShotBTDAttention:
 
     def test_lane_blocked_maskless_padded_keys(self, monkeypatch):
         """Lane-blocked branch + maskless fast path + Tk lane padding
-        (300→384): the analytic denominator fixup must hold per
+        (300→384): the real-lane-slice denominator sum must hold per
         head-block too."""
         import interspeech_ser_tpu.ops.pallas.flash_attention_short as fas
 
