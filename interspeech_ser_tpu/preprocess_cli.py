@@ -135,9 +135,8 @@ def _text_main(argv, family: str):
     print(f"Using average = {average}")
     df = pd.read_csv(args.df_path)
 
-    from transformers import AutoTokenizer
-
     from .extract.pipeline import TextExtractionPipeline
+    from .utils.spm import auto_tokenizer
 
     if family == "roberta":
         from .models.loader import build_roberta as build
@@ -145,7 +144,10 @@ def _text_main(argv, family: str):
         from .models.loader import build_deberta_v2 as build
 
     model, params, cfg = build(args.roberta_type, dtype=args.dtype)
-    tokenizer = AutoTokenizer.from_pretrained(args.roberta_type)
+    # auto_tokenizer: HF AutoTokenizer where the stack can load it, else
+    # the pure-Python SentencePiece unigram fallback (utils/spm.py) — the
+    # deberta leg must run even without the sentencepiece wheel
+    tokenizer = auto_tokenizer(args.roberta_type)
 
     def tokenize(texts):
         return tokenizer(

@@ -108,13 +108,17 @@ def stage_convert(ckpt_dir: str) -> dict:
             with torch.no_grad():
                 ref = tm.encoder(torch.tensor(np.asarray(mel))).last_hidden_state
         else:  # roberta / deberta
-            from transformers import AutoModel, AutoTokenizer
+            from transformers import AutoModel
+
+            from interspeech_ser_tpu.utils.spm import auto_tokenizer
 
             build = (
                 loader.build_roberta if kind == "roberta" else loader.build_deberta_v2
             )
             model, params, cfg = build(d)
-            tok = AutoTokenizer.from_pretrained(d)
+            # pure-Python SPM fallback when the sentencepiece wheel is
+            # absent (deberta); model parity itself is tokenizer-agnostic
+            tok = auto_tokenizer(d)
             enc = tok(["an offline parity audit sentence"], padding="max_length",
                       max_length=32, truncation=True, return_tensors="np")
             ours = model.apply(
@@ -153,9 +157,11 @@ VFINAL_EXPERIMENTS = [
 def stage_extract(args, workdir: str) -> dict:
     """Features for EVERY mounted encoder the VFINAL ensemble uses
     (+ whisper transcription when no transcript CSV is given). Encoders
-    absent from ckpt_dir — or whose tokenizer stack can't load (deberta
-    needs sentencepiece) — are skipped with a log line; stage 3 then
-    trains whichever of the five experiments have both feature dirs."""
+    absent from ckpt_dir are skipped with a log line; stage 3 then trains
+    whichever of the five experiments have both feature dirs. The deberta
+    leg no longer needs the sentencepiece wheel — utils/spm.py's
+    pure-Python unigram tokenizer loads the checkpoint's spm.model when
+    transformers can't."""
     from interspeech_ser_tpu import preprocess_cli
 
     feats: dict = {}
@@ -207,7 +213,7 @@ def stage_extract(args, workdir: str) -> dict:
             fn([flag, d, "--df_path", txt_csv,
                 "--save_path", featdir(family), "--dtype", args.dtype])
             feats[family] = featdir(family)
-        except Exception as e:  # e.g. sentencepiece missing for deberta
+        except Exception as e:  # malformed checkpoint/tokenizer files
             print(f"[extract] {family} SKIPPED: {type(e).__name__}: {e}")
 
     return {"feat_dirs": feats, "txt_csv": txt_csv}
@@ -385,6 +391,22 @@ def make_dryrun_fixtures(workdir: str) -> argparse.Namespace:
     AutoModel.from_config(rcfg).eval().save_pretrained(rdir)
     _write_byte_level_tokenizer(rdir)
 
+    # --- deberta-v2-xxl stand-in + a hand-built tiny spm.model: the
+    # pure-Python unigram tokenizer (utils/spm.py auto_tokenizer fallback)
+    # runs this leg WITHOUT the sentencepiece wheel → all 5/5 VFINAL
+    # ensemble experiments exercise end-to-end in this image ---
+    ddir = os.path.join(ckpt_dir, "deberta-v2-xxl")
+    dcfg = AutoConfig.for_model(
+        "deberta-v2", hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128, vocab_size=64,
+        max_position_embeddings=130, relative_attention=True,
+        position_buckets=32, max_relative_positions=64,
+        pos_att_type=["c2p", "p2c"], norm_rel_ebd="layer_norm",
+        share_att_key=True, position_biased_input=False,
+    )
+    AutoModel.from_config(dcfg).eval().save_pretrained(ddir)
+    _write_tiny_spm(ddir)
+
     # --- wavlm-large stand-in (convert-stage coverage for speech) ---
     scfg = AutoConfig.for_model(
         "wavlm", hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
@@ -395,8 +417,8 @@ def make_dryrun_fixtures(workdir: str) -> argparse.Namespace:
     AutoModel.from_config(scfg).eval().save_pretrained(
         os.path.join(ckpt_dir, "wavlm-large"))
 
-    # --- hubert-xlarge stand-in: lets the dryrun train 4 of the 5 VFINAL
-    # ensemble experiments (deberta needs sentencepiece, absent here) ---
+    # --- hubert-xlarge stand-in (speech leg of hubert+roberta and
+    # whisper+hubert) ---
     hcfg = AutoConfig.for_model(
         "hubert", hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
         intermediate_size=96, conv_dim=(16,) * 7, conv_bias=True,
@@ -438,6 +460,27 @@ def make_dryrun_fixtures(workdir: str) -> argparse.Namespace:
         ckpt_dir=ckpt_dir, wav_dir=wav_dir, label_path=label_path,
         transcripts=txt,
     )
+
+
+def _write_tiny_spm(d: str) -> None:
+    """Hand-built unigram spm.model (utils/spm.serialize_spm_model) whose
+    ids stay inside the tiny deberta vocab: specials 0-3 + ASCII letter
+    pieces + a few words from the dryrun transcript."""
+    from interspeech_ser_tpu.utils.spm import (
+        CONTROL, NORMAL, UNKNOWN, serialize_spm_model,
+    )
+
+    pieces = [
+        ("[PAD]", 0.0, CONTROL), ("[CLS]", 0.0, CONTROL),
+        ("[SEP]", 0.0, CONTROL), ("[UNK]", 0.0, UNKNOWN),
+        ("▁", -2.0, NORMAL),
+    ]
+    for w in ("a", "synthetic", "dryrun", "utterance"):
+        pieces.append(("▁" + w, -1.0, NORMAL))
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        pieces.append((ch, -5.0, NORMAL))
+    with open(os.path.join(d, "spm.model"), "wb") as f:
+        f.write(serialize_spm_model(pieces))
 
 
 def _write_byte_level_tokenizer(d: str) -> None:

@@ -40,6 +40,8 @@ _SMOKE_MODULES = {
     "test_data_lengths",
     "test_flash_attention",
     "test_smoke_imports",
+    "test_spm",
+    "test_benchsuite",
 }
 _SMOKE_CLASSES = {"TestAuditParser"}  # fast canned-HLO units in test_collectives
 
