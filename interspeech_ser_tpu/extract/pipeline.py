@@ -59,15 +59,37 @@ from ..utils.audio import load_wav, normalize_waveform
 
 
 def _shard_encoder_params(mesh, params):
-    """Megatron FFN sharding: intermediate kernel column-parallel, output
-    kernel row-parallel; everything else replicated."""
+    """Megatron sharding over the 'model' axis — the full recipe:
+
+    - FFN: intermediate kernel column-parallel ``P(None, 'model')``,
+      output kernel row-parallel ``P('model', None)``.
+    - Attention: q/k/v kernels column-parallel (output dim D = H·hd is
+      head-major, so an even head count per shard keeps whole heads
+      local and SDPA communication-free) with their biases sharded to
+      match; out_proj kernel row-parallel, closing each block with one
+      partial-sum all-reduce like the FFN's.
+
+    Per-head extras (WavLM's ``rel_attn_embed`` [buckets, H] and
+    ``gru_rel_pos_const`` [1,H,1,1], the shared ``gru_rel_pos_linear``
+    [hd, 8]) stay replicated — KBs against the MB-scale kernels; GSPMD
+    slices them where the head dim is partitioned. Asserted at the HLO
+    level by tests/test_collectives.py::TestTensorParallelCollectives
+    (halved per-device kernel shapes present, full shapes absent).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    COL = ("intermediate_dense", "q_proj", "k_proj", "v_proj")
+    ROW = ("output_dense", "out_proj")
 
     def spec(path, x):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if "intermediate_dense" in names and names[-1] == "kernel":
-            return P(None, "model")
-        if "output_dense" in names and names[-1] == "kernel":
+        leaf = names[-1]
+        if any(n in names for n in COL):
+            if leaf == "kernel":
+                return P(None, "model")
+            if leaf == "bias":
+                return P("model")
+        if any(n in names for n in ROW) and leaf == "kernel":
             return P("model", None)
         return P()
 

@@ -135,6 +135,17 @@ class TestTensorParallelCollectives:
         assert "32,128" not in pshapes and "128,32" not in pshapes, (
             "full (unsharded) FFN kernel shapes present — tp=2 is replicating"
         )
+        # attention q/k/v kernels [32,32] → column-sharded [32,16] (2 whole
+        # heads per device); out_proj [32,32] → row-sharded [16,32]; the
+        # full [32,32] shape must be ABSENT (no other [32,32] param exists
+        # in this config — feature_projection is [16,32])
+        assert "32,16" in pshapes and "16,32" in pshapes, (
+            f"attention kernels not halved per-device: {sorted(pshapes)}"
+        )
+        assert "32,32" not in pshapes, (
+            "full (unsharded) attention kernel shapes present — the "
+            "megatron attention sharding is replicating"
+        )
         audit = collective_audit(txt)
         total = sum(rec["count"] for rec in audit.values())
         assert total >= 1, "tp=2 forward emitted NO collectives"
