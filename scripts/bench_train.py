@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 
-def bench_baseline():
+def bench_baseline(n_rep=2):
     from interspeech_ser_tpu.models.speech import SpeechEncoderModel, wavlm_large
     from interspeech_ser_tpu.baseline.models import AttentiveStatisticsPooling, EmotionRegression
 
@@ -73,19 +73,23 @@ def bench_baseline():
     params, opt_state, loss = step(params, opt_state, wav, mask, y, dkey)
     float(loss)
     n = 8
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, loss = step(params, opt_state, wav, mask, y, dkey)
-    float(loss)
-    dt = (time.perf_counter() - t0) / n
-    audio_s = B * 12.0
+    rates = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt_state, loss = step(params, opt_state, wav, mask, y, dkey)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        rates.append(B * 12.0 / dt)
+    best_dt_ms = B * 12.0 / max(rates) * 1e3
     print(
-        f"baseline e2e WavLM-large fine-tune: {dt*1e3:.1f} ms/micro-step "
-        f"(B={B}, 12-s) = {audio_s/dt:.0f} audio-s trained per wall-s"
+        f"baseline e2e WavLM-large fine-tune: {best_dt_ms:.1f} ms/micro-step "
+        f"(B={B}, 12-s) = {max(rates):.0f} audio-s trained per wall-s"
     )
+    return rates
 
 
-def bench_fusion():
+def bench_fusion(n_rep=2):
     from interspeech_ser_tpu.models.fusion import MultiModalEmotionClassifier
 
     model = MultiModalEmotionClassifier(feat_dims=(1280, 1024))
@@ -121,15 +125,18 @@ def bench_fusion():
     params, opt_state, loss = step(params, opt_state, dkey)
     float(loss)
     n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, loss = step(params, opt_state, dkey)
-    float(loss)
-    dt = (time.perf_counter() - t0) / n
+    ms = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt_state, loss = step(params, opt_state, dkey)
+        float(loss)
+        ms.append((time.perf_counter() - t0) / n * 1e3)
     print(
-        f"fusion trainer (whisper1280+roberta1024, bs64): {dt*1e3:.1f} ms/step "
-        f"= {B/dt:.0f} samples/s device-side"
+        f"fusion trainer (whisper1280+roberta1024, bs64): {min(ms):.1f} ms/step "
+        f"= {B/min(ms)*1e3:.0f} samples/s device-side"
     )
+    return ms
 
 
 if __name__ == "__main__":

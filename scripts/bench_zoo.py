@@ -47,7 +47,11 @@ def host_init_bf16(model, *init_args):
     return jax.tree.map(fill, shapes)
 
 
-def chain_rate(fwd, params, x, extra, batch, n_chain=6):
+def chain_rate(fwd, params, x, extra, batch, n_chain=6, n_rep=2):
+    """→ list of per-repeat throughputs (len n_rep; compile excluded).
+    Callers report max() as the value and the spread as the noise band
+    (bench_suite.py records both)."""
+
     @jax.jit
     def chained(params, x, extra):
         def body(i, x):
@@ -59,16 +63,16 @@ def chain_rate(fwd, params, x, extra, batch, n_chain=6):
 
     out = chained(params, x, extra)
     float(jnp.sum(out.astype(jnp.float32)))
-    best = float("inf")
-    for _ in range(2):
+    rates = []
+    for _ in range(n_rep):
         t0 = time.perf_counter()
         out = chained(params, x, extra)
         float(jnp.sum(out.astype(jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
-    return batch * n_chain / best
+        rates.append(batch * n_chain / (time.perf_counter() - t0))
+    return rates
 
 
-def bench_speech(name, cfg_fn, batch):
+def bench_speech(name, cfg_fn, batch, n_rep=2):
     import dataclasses
 
     from interspeech_ser_tpu.models.speech import (
@@ -87,11 +91,12 @@ def bench_speech(name, cfg_fn, batch):
     def fwd(p, w, m):
         return model.apply({"params": p}, w, m)["last_hidden_state"]
 
-    rate = chain_rate(fwd, params, wav, mask, batch)
-    print(f"{name}: {rate:.1f} utt/s/chip (B={batch}, 10-s utts)")
+    rates = chain_rate(fwd, params, wav, mask, batch, n_rep=n_rep)
+    print(f"{name}: {max(rates):.1f} utt/s/chip (B={batch}, 10-s utts)")
+    return rates
 
 
-def bench_whisper(batch):
+def bench_whisper(batch, n_rep=2):
     from interspeech_ser_tpu.models.whisper import WhisperEncoderConfig, WhisperEncoderModel
 
     cfg = WhisperEncoderConfig(dtype="bfloat16", inference_kernels=True)
@@ -103,12 +108,13 @@ def bench_whisper(batch):
     def fwd(p, m, _):
         return model.apply({"params": p}, m)["last_hidden_state"]
 
-    rate = chain_rate(fwd, params, mel, None, batch)
+    rates = chain_rate(fwd, params, mel, None, batch, n_rep=n_rep)
     # whisper processes fixed 30-s windows; report windows/s
-    print(f"whisper-large-v3-enc: {rate:.1f} windows/s/chip (B={batch}, 30-s windows)")
+    print(f"whisper-large-v3-enc: {max(rates):.1f} windows/s/chip (B={batch}, 30-s windows)")
+    return rates
 
 
-def bench_text(name, builder_cfg, batch, seq):
+def bench_text(name, builder_cfg, batch, seq, n_rep=2):
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(5, 1000, size=(batch, seq)))
     mask = jnp.ones((batch, seq), jnp.float32)
@@ -135,13 +141,14 @@ def bench_text(name, builder_cfg, batch, seq):
 
     out = chained(params, ids, mask)
     float(jnp.sum(out))
-    best = float("inf")
-    for _ in range(2):
+    rates = []
+    for _ in range(n_rep):
         t0 = time.perf_counter()
         out = chained(params, ids, mask)
         float(jnp.sum(out))
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name}: {batch * 6 / best:.1f} seq/s/chip (B={batch}, {seq}-tok seqs)")
+        rates.append(batch * 6 / (time.perf_counter() - t0))
+    print(f"{name}: {max(rates):.1f} seq/s/chip (B={batch}, {seq}-tok seqs)")
+    return rates
 
 
 def _roberta():

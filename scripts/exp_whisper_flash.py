@@ -179,7 +179,7 @@ def end_to_end():
             os.environ["SER_TPU_ATTN_IMPL"] = impl
             label = f"forced {impl}"
         try:
-            rate = chain_rate(fwd, params, mel, None, B)
+            rate = max(chain_rate(fwd, params, mel, None, B))
             print(f"e2e whisper encoder [{label:16s}]: {rate:.1f} windows/s (B={B})")
         except Exception as e:
             print(f"e2e whisper encoder [{label}]: FAILED {type(e).__name__}: {e}")
