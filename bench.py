@@ -19,10 +19,11 @@ B=32 > B=16 (+4%, r02); oneshot2 attention default (+8-10%, r03); fused
 conv0 prefix depth 1 (+1.5%, r03). Fused qkv measured a LOSS on chip
 (−8% at B=32, r03) and left the set.
 
-``vs_baseline`` divides by 50 utt/s — a *favorable-to-the-reference*
-estimate of its per-utterance batch-1 A100 path (~315 GFLOP / 10-s
-utterance, latency-bound; the real reference is additionally GIL- and
-I/O-bound below that). Target ≥5.
+``vs_baseline`` divides by 50 utt/s — the A100 fp32 speed-of-light for
+the reference's batch-1 path (383.8 GFLOP / 10-s utterance at the 19.5
+TF/s fp32 CUDA-core peak = 50.8 utt/s at 100% utilization; the real
+reference is host-bound far below — full derivation with measured host
+components in BASELINE.md Appendix A). Target ≥5.
 
 Timing notes: slope method over two loop lengths with a forced readback —
 ``block_until_ready`` can return early under the tunneled remote runtime.
@@ -228,7 +229,8 @@ def main():
         "best_variant": best_name,
         "variants": variants,
         "device": str(jax.devices()[0]),
-        "note": "baseline=50 utt/s favorable A100 batch-1 estimate; target >=5x",
+        "note": "baseline=50 utt/s = A100 fp32 roofline for the batch-1 "
+                "reference path (BASELINE.md Appendix A); target >=5x",
     }
     # Full-pipeline e2e (decode+batch+device+save) is gated behind an env
     # flag: over this image's tunneled TPU the D2H hop rides the network
