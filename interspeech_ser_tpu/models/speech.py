@@ -464,6 +464,25 @@ class SpeechSelfAttention(nn.Module):
         return out, position_bias
 
 
+class _DenseParams(nn.Module):
+    """Params-only stand-in for nn.Dense: same tree path, shapes, init
+    (lecun_normal kernel / zeros bias, f32) — lets the fused-FFN kernel
+    path read raw weights without a throwaway Dense call, and keeps
+    checkpoints interchangeable between the XLA and kernel paths."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class FeedForward(nn.Module):
     config: SpeechConfig
 
@@ -471,6 +490,26 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         dt = cfg.compute_dtype
+        # SER_TPU_FFN_KERNEL=1: single-kernel MLP pair with the [.,4096]
+        # intermediate VMEM-resident (ops/pallas/ffn_fused.py). No vjp →
+        # inference opt-in only, gated like the other kernels; A/B in
+        # scripts/exp_ffn_fused.py decides whether it ever defaults.
+        if (
+            os.environ.get("SER_TPU_FFN_KERNEL") == "1"
+            and cfg.inference_kernels
+            and x.ndim == 3
+        ):
+            from ..ops.pallas.ffn_fused import ffn_fused
+
+            D = x.shape[-1]
+            wu, bu = _DenseParams(D, cfg.intermediate_size, name="intermediate_dense")()
+            wd, bd = _DenseParams(cfg.intermediate_size, D, name="output_dense")()
+            out = ffn_fused(
+                x.astype(dt).reshape(-1, D), wu.astype(dt), bu,
+                wd.astype(dt), bd, approx_gelu=cfg.use_approx_gelu,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+            return out.reshape(x.shape)
         h = _proj_dense(cfg, cfg.intermediate_size, "intermediate_dense")(x)
         h = nn.gelu(h, approximate=cfg.use_approx_gelu)
         return _proj_dense(cfg, cfg.hidden_size, "output_dense")(h)

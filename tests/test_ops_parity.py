@@ -272,3 +272,68 @@ class TestPatchMatmulConv:
         got = mod.apply({"params": {"kernel": jnp.asarray(kernel)}}, wav)
         want = self._ref(wav, kernel, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFFNFused:
+    """Fused-FFN Pallas pair (ops/pallas/ffn_fused.py): interpret-mode
+    exactness vs the two-GEMM reference, ragged M padding, and the
+    SER_TPU_FFN_KERNEL opt-in's param-tree/value identity."""
+
+    def _ref(self, x, wu, bu, wd, bd, approx):
+        import jax
+
+        h = jax.nn.gelu(x @ wu + bu, approximate=approx)
+        return h @ wd + bd
+
+    @pytest.mark.parametrize("M,approx", [(256, True), (300, False), (7, True)])
+    def test_matches_two_gemms(self, M, approx):
+        import jax
+
+        from interspeech_ser_tpu.ops.pallas.ffn_fused import ffn_fused
+
+        rng = np.random.default_rng(M)
+        K, F, N = 64, 256, 64
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        wu = jnp.asarray(rng.normal(size=(K, F)).astype(np.float32) * 0.05)
+        bu = jnp.asarray(rng.normal(size=(F,)).astype(np.float32))
+        wd = jnp.asarray(rng.normal(size=(F, N)).astype(np.float32) * 0.05)
+        bd = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        got = ffn_fused(x, wu, bu, wd, bd, block_m=128, approx_gelu=approx,
+                        interpret=True)
+        want = self._ref(x, wu, bu, wd, bd, approx)
+        assert got.shape == (M, N)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_env_flag_exact_and_param_tree_identical(self, monkeypatch):
+        import dataclasses
+
+        import jax
+
+        from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
+
+        cfg = dataclasses.replace(
+            SpeechConfig(
+                hidden_size=32, num_layers=1, num_heads=4, intermediate_size=64,
+                conv_dim=(16,), conv_kernel=(10,), conv_stride=(5,),
+                conv_bias=True, feat_extract_norm="layer",
+                do_stable_layer_norm=True, attention_type="wavlm",
+                num_buckets=32, max_distance=64,
+                num_conv_pos_embeddings=16, conv_pos_groups=4,
+            ),
+            inference_kernels=True,
+        )
+        m = SpeechEncoderModel(cfg)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.normal(size=(2, 4000)).astype(np.float32))
+        mask = jnp.ones((2, 4000), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), wav, mask)["params"]
+        ref = m.apply({"params": params}, wav, mask)["last_hidden_state"]
+        monkeypatch.setenv("SER_TPU_FFN_KERNEL", "1")
+        got = m.apply({"params": params}, wav, mask)["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+        # init under the flag: same tree, same values (checkpoints swap
+        # freely between the XLA and kernel paths)
+        p2 = m.init(jax.random.PRNGKey(0), wav, mask)["params"]
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+        eq = jax.tree.map(lambda a, b: bool((a == b).all()), params, p2)
+        assert all(jax.tree.leaves(eq))
