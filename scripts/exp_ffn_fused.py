@@ -10,6 +10,24 @@ this script A/Bs isolated pair time (several block_m) and, via the
 SER_TPU_FFN_KERNEL=1 opt-in, e2e WavLM extraction.
 
 Run on the real chip:  python scripts/exp_ffn_fused.py [iso|e2e]
+
+MEASURED (v5e, bf16, 2026-08-20, pure serial chain — output feeds input,
+zero glue; a first attempt with scalar-fold glue measured everything at
+~75 TF/s, glue-dominated, matching exp_gemm_roofline.py's warning):
+
+  xla bare pair                2.125 ms   151.3 TF/s  (reproduces the 154)
+  xla + bias + gelu epilogue   2.138 ms   150.4 TF/s  <- epilogue is FREE
+  fused kernel bm=256          2.258 ms   142.4 TF/s
+  fused kernel bm=512          2.210 ms   145.5 TF/s  <- best, still -3%
+  fused kernel bm=1024         2.428 ms   132.5 TF/s
+  e2e WavLM extraction flag on vs off: see STATUS (negative)
+
+CONCLUSION — NEGATIVE, closes the last MXU angle: the [M,4096]
+intermediate's HBM round-trip (~314 MB) is fully overlapped with the
+2.1 ms of MXU work at this shape, so keeping it VMEM-resident buys
+nothing, and Mosaic's pipelining sits ~3% behind XLA's at equal math.
+The 154-vs-178 TF/s gap is intrinsic GEMM efficiency at K=N=1024, not
+reclaimable traffic. SER_TPU_FFN_KERNEL stays a zero-default opt-in.
 """
 
 import os
@@ -27,16 +45,15 @@ M, K, F = 19168, 1024, 4096  # exp_gemm_roofline.py's MLP-pair shape
 PAIR_TFLOP = 2 * 2 * M * K * F / 1e12
 
 
-def _chain(fn, args, n=10):
+def _chain(fn, args, n=60):
+    """Pure serial chain: the pair's [M,K] output IS the next input —
+    zero glue. (The scalar-fold variant used elsewhere adds a full-tensor
+    sum + broadcast update per iteration, which dominates at this ~2 ms
+    op size and buried the first A/B at ~75 TF/s across the board.)"""
+
     @jax.jit
-    def chained(*args):
-        x = args[0]
-
-        def body(i, x):
-            out = fn(x, *args[1:])
-            return x + (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(x.dtype)
-
-        return jax.lax.fori_loop(0, n, body, x)
+    def chained(x, *rest):
+        return jax.lax.fori_loop(0, n, lambda i, x: fn(x, *rest), x)
 
     out = chained(*args)
     float(jnp.sum(out.astype(jnp.float32)))
