@@ -107,10 +107,18 @@ def bench_fusion(n_rep=2):
     tx = optax.adamw(1e-4, weight_decay=1e-6)
     opt_state = tx.init(params)
 
+    # measure the PRODUCTION training path: FusionEngine engages the
+    # Pallas GRU kernel pair on TPU (train/engine.py:_use_gru_kernel,
+    # 25.99 vs 29.72 ms/step scan). Building the model directly here had
+    # silently measured the scan path — caught by bench_suite's r04→r05
+    # comparator flagging a +13% "regression" that was really this bench
+    # timing the wrong branch.
+    use_kernel = jax.default_backend() == "tpu"
+
     def loss_fn(p, dkey):
         logits = model.apply(
             {"params": p}, [f1, f2], masks=[m1, m2], deterministic=False,
-            rngs={"dropout": dkey},
+            rngs={"dropout": dkey}, use_gru_kernel=use_kernel,
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         return -jnp.mean(jnp.take_along_axis(logp, y[:, None], -1))
