@@ -151,6 +151,68 @@ class TestViterbi:
         assert 3 not in ids
 
 
+class TestViterbiBruteForce:
+    """Property test: on random tiny vocabs over a 3-letter alphabet, the
+    trie Viterbi must find the EXACT max-score segmentation that exhaustive
+    enumeration finds (unknown chars allowed at unk_score). This pins the
+    dynamic program itself, not just hand-picked cases."""
+
+    def _enumerate_best(self, s, piece_scores, unk_score):
+        best = {0: 0.0}
+        n = len(s)
+        # dp over prefixes with full enumeration of last-piece choices
+        for j in range(1, n + 1):
+            cands = []
+            for i in range(j):
+                if best.get(i) is None:
+                    continue
+                sub = s[i:j]
+                if sub in piece_scores:
+                    cands.append(best[i] + piece_scores[sub])
+                if j - i == 1:  # unknown single char always available
+                    cands.append(best[i] + unk_score)
+            best[j] = max(cands)
+        return best[n]
+
+    def test_matches_exhaustive_on_random_vocabs(self, tmp_path):
+        import itertools
+        import random
+
+        from interspeech_ser_tpu.utils.spm import SpmModel
+
+        rng = random.Random(7)
+        alphabet = "abc"
+        all_pieces = [
+            "".join(p)
+            for L in (1, 2, 3)
+            for p in itertools.product(alphabet, repeat=L)
+        ]
+        for trial in range(30):
+            chosen = rng.sample(all_pieces, rng.randint(3, 12))
+            pieces = [("[UNK]", 0.0, UNKNOWN)] + [
+                (p, round(rng.uniform(-8.0, -0.5), 3), NORMAL) for p in chosen
+            ]
+            model = SpmModel(pieces, add_dummy_prefix=False,
+                             escape_whitespaces=False)
+            enc = UnigramEncoder(model)
+            piece_scores = {p: s for p, s, t in pieces if t == NORMAL}
+            for _ in range(8):
+                s = "".join(rng.choice(alphabet + "z")  # z = unknown char
+                            for _ in range(rng.randint(1, 9)))
+                segs = enc._segment(s)
+                got = sum(
+                    piece_scores.get(piece, enc.unk_score)
+                    if pid != model.unk_id else enc.unk_score
+                    for piece, pid in segs
+                )
+                want = self._enumerate_best(s, piece_scores, enc.unk_score)
+                assert abs(got - want) < 1e-9, (
+                    f"trial {trial}: viterbi {got} != exhaustive {want} "
+                    f"for {s!r} over {piece_scores}"
+                )
+                assert "".join(p for p, _ in segs) == s  # exact cover
+
+
 class TestDebertaV2Wrapper:
     def test_hf_call_convention(self, toy_model, tmp_path):
         tok = DebertaV2SpmTokenizer.from_pretrained(str(tmp_path))
