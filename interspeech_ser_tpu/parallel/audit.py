@@ -54,16 +54,19 @@ def collective_audit(hlo_text: str) -> Dict[str, Dict[str, int]]:
     Parses optimized-HLO lines of the form
     ``%all-reduce.3 = f32[8,16]{1,0} all-reduce(%dot.1), ...`` (the result
     type may be a tuple for combined/variadic collectives). ``*-done`` ops
-    are ignored so async pairs are not double counted; for async
-    ``*-start`` forms the result tuple is ``(operand-half, result-half,
-    control contexts)`` — control shapes (u32/s32/u8/pred) are dropped and
-    the trailing HALF of the remaining data shapes is counted, so both the
-    plain ``(operand, result)`` pair and variadic combined collectives
-    (``(op1..opN, res1..resN)``, common after TPU all-reduce combining)
-    match the sync form's volume. An odd data-shape count (one combined
-    operand aliased in place, seen on some backends) rounds toward
-    counting MORE shapes — over-counting keeps the ``elements >= n``
-    receipts sound.
+    are ignored so async pairs are not double counted. Async ``*-start``
+    result shapes differ BY OPCODE in XLA's AsyncCollectiveCreator:
+
+    - ``all-reduce-start``: the shape IS the all-reduce result (a tuple of
+      N results when combined) — no operand aliases, so ALL data shapes
+      are counted. Halving here under-reported combined all-reduce volume
+      by ~2× (review-found).
+    - ``all-gather-start`` / ``collective-permute-start`` /
+      ``reduce-scatter-start`` / ``all-to-all-start``: the tuple is
+      ``(operand half, result half, u32 contexts)`` — control shapes are
+      dropped and the trailing HALF of the remaining data shapes counted,
+      matching the sync form. An odd data-shape count rounds toward
+      counting MORE shapes, keeping ``elements >= n`` receipts sound.
 
     Known limitation: collectives wrapped in a generic ``async-start``
     computation (no opcode on the start line) are not counted; the CPU
@@ -78,8 +81,11 @@ def collective_audit(hlo_text: str) -> Dict[str, Dict[str, int]]:
         if m.group("async"):
             data = [dims for dt, dims in typed
                     if dt not in ("u32", "s32", "u8", "pred")]
-            typed_dims = data[len(data) // 2:] if data \
-                else [dims for _, dims in typed][-1:]
+            if m.group("op") == "all-reduce":
+                typed_dims = data  # result-only shape: count everything
+            else:
+                typed_dims = data[len(data) // 2:] if data \
+                    else [dims for _, dims in typed][-1:]
         else:
             typed_dims = [dims for _, dims in typed]
         elems = sum(_elements(s) for s in typed_dims)

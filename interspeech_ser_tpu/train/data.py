@@ -78,6 +78,7 @@ class LazyFeatureDataset:
         self.feat_dims = list(feat_dims)
         self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
         self._verbose_once = True
+        self._echo_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.utt_names)
@@ -90,13 +91,17 @@ class LazyFeatureDataset:
         paths = self._paths(idx)
         if self._verbose_once:
             # first-sample echo, mirroring the reference's sanity print
-            # (bin/train_cat_bimodal_lazy_1head.py:222-225). Flag is
-            # cleared BEFORE printing and the line goes out as ONE write:
-            # load_features runs on pool threads, and multi-arg print()
-            # from racing workers interleaved mid-line in the dryrun tail
-            # (MULTICHIP_r04.json) — the one artifact a machine parses.
-            self._verbose_once = False
-            sys.stdout.write(" ".join(paths) + "\n")
+            # (bin/train_cat_bimodal_lazy_1head.py:222-225). load_features
+            # runs on pool threads: the lock makes the test-and-clear
+            # atomic (a bare check-then-set let several first-batch
+            # workers all pass the check → duplicate lines), and the line
+            # goes out as ONE write so it can't interleave mid-line in
+            # the dryrun tail (MULTICHIP_r04.json) — the one artifact a
+            # machine parses.
+            with self._echo_lock:
+                emit, self._verbose_once = self._verbose_once, False
+            if emit:
+                sys.stdout.write(" ".join(paths) + "\n")
         feats = []
         for p, d in zip(paths, self.feat_dims):
             arr = np.asarray(ptio.load_tensor(p), dtype=np.float32)

@@ -140,14 +140,17 @@ def run(metrics, out_path):
         print(f"[suite] {name} ...", flush=True)
         try:
             samples = [float(s) for s in _run_metric(name)]
+            if not samples:  # e.g. SER_TPU_BENCH_REPS=0
+                raise RuntimeError("runner returned no samples")
+            best = min(samples) if not hib else max(samples)
+            entry = metric_entry(
+                best, unit, samples, higher_is_better=hib, config=config
+            )
         except Exception as e:  # record and continue — one failed compile
             failures[name] = f"{type(e).__name__}: {e}"  # must not hide the rest
             print(f"[suite] {name} FAILED: {failures[name]}", flush=True)
             continue
-        best = min(samples) if not hib else max(samples)
-        suite["metrics"][name] = metric_entry(
-            best, unit, samples, higher_is_better=hib, config=config
-        )
+        suite["metrics"][name] = entry
     if failures:
         suite["failures"] = failures
     with open(out_path, "w") as f:

@@ -100,9 +100,14 @@ class TestTensorParallelCollectives:
         from interspeech_ser_tpu.extract.pipeline import SpeechExtractionPipeline
         from interspeech_ser_tpu.models.speech import SpeechConfig, SpeechEncoderModel
 
+        # conv_dim 24 (not 16) so feature_projection's kernel is [24,32] —
+        # with conv_dim 16 it was [16,32], identical to the row-sharded
+        # out_proj shape, making that assert vacuously true even if
+        # out_proj sharded the WRONG axis (review-found). Every asserted
+        # shape below is now unique to one parameter.
         scfg = SpeechConfig(
             hidden_size=32, num_layers=2, num_heads=4, intermediate_size=128,
-            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            conv_dim=(24, 24), conv_kernel=(10, 3), conv_stride=(5, 2),
             conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
             attention_type="wavlm", num_buckets=32, max_distance=64,
             num_conv_pos_embeddings=16, conv_pos_groups=4,
@@ -137,8 +142,10 @@ class TestTensorParallelCollectives:
         )
         # attention q/k/v kernels [32,32] → column-sharded [32,16] (2 whole
         # heads per device); out_proj [32,32] → row-sharded [16,32]; the
-        # full [32,32] shape must be ABSENT (no other [32,32] param exists
-        # in this config — feature_projection is [16,32])
+        # full [32,32] shape must be ABSENT. With conv_dim=24 these
+        # per-device shapes belong ONLY to the attention kernels
+        # (feature_projection is [24,32]), so a wrong partition axis on
+        # either side cannot slip through on a shape collision.
         assert "32,16" in pshapes and "16,32" in pshapes, (
             f"attention kernels not halved per-device: {sorted(pshapes)}"
         )
@@ -416,19 +423,31 @@ class TestAuditParser:
         assert audit["all-to-all"]["count"] == 2
         assert audit["all-to-all"]["elements"] == 256 + 32
 
-    def test_variadic_async_start_counts_result_half(self):
-        """Combined variadic all-reduce-start (common after TPU
-        all-reduce combining): result tuple is (op1..opN, res1..resN,
-        contexts) — the result HALF must be summed, not just the last
-        shape, or `elements >= n_params` receipts spuriously fail."""
+    def test_combined_all_reduce_start_counts_all_results(self):
+        """XLA's AsyncCollectiveCreator gives all-reduce-start the
+        RESULT shape directly (tuple of N results when combined — no
+        operand aliases, unlike all-gather-start): every data shape must
+        be counted. Halving here under-reported combined all-reduce
+        volume ~2× and made `elements >= n_params` receipts spuriously
+        fail (review-found)."""
         txt = (
-            "  %ars = (f32[8,16]{1,0}, f32[64]{0}, f32[8,16]{1,0}, "
-            "f32[64]{0}, u32[], u32[]) all-reduce-start(%a, %b), "
-            "to_apply=%add"
+            "  %ars = (f32[8,16]{1,0}, f32[64]{0}) "
+            "all-reduce-start(%a, %b), to_apply=%add"
         )
         audit = collective_audit(txt)
         assert audit["all-reduce"]["count"] == 1
         assert audit["all-reduce"]["elements"] == 128 + 64
+
+    def test_reduce_scatter_start_counts_result_half(self):
+        """Non-all-reduce async starts keep the (operand half, result
+        half, contexts) tuple form — trailing data half counted."""
+        txt = (
+            "  %rss = (f32[64]{0}, f32[8]{0}, u32[], u32[]) "
+            "reduce-scatter-start(%x), dimensions={0}"
+        )
+        audit = collective_audit(txt)
+        assert audit["reduce-scatter"]["count"] == 1
+        assert audit["reduce-scatter"]["elements"] == 8
 
     def test_negative_control_single_device(self):
         """A step compiled WITHOUT sharding must audit to zero collectives
